@@ -1,0 +1,272 @@
+"""Configuration for the TPU tracker.
+
+Covers the full flag surface of the reference YAML config
+(reference: config_ycbineoat.yml:1-66, config_nocs.yml) plus the static-shape
+capacities the TPU design needs (keypoint/match/pair/trial padding).  The
+reference reads its YAML ad hoc at use sites (e.g. src/Bundler.cpp:281-283);
+here the whole surface is typed dataclasses, hashable so a config can be a
+static argument to a jitted function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Tuple
+
+
+def _frozen(cls):
+    return dataclass(frozen=True)(cls)
+
+
+@_frozen
+class ErodeConfig:
+    """Depth erosion (reference: config_ycbineoat.yml depth_processing.erode,
+    kernel CUDAImageUtil erodeDepthMap)."""
+
+    radius: int = 1
+    diff: float = 0.001
+    ratio: float = 0.8  # if the fraction of differing neighbors exceeds this, zero depth
+
+
+@_frozen
+class BilateralConfig:
+    """Depth-aware bilateral filter (reference: gaussFilterDepthMap)."""
+
+    radius: int = 2
+    sigma_d: float = 2.0
+    sigma_r: float = 100000.0
+
+
+@_frozen
+class OutlierRemovalConfig:
+    num: int = 30
+    std_mul: float = 3.0
+
+
+@_frozen
+class DepthProcessingConfig:
+    erode: ErodeConfig = ErodeConfig()
+    bilateral_filter: BilateralConfig = BilateralConfig()
+    outlier_removal: OutlierRemovalConfig = OutlierRemovalConfig()
+    zfar: float = 2.0  # reference zeroes depth < 0.1 m (Utils.cpp:49-68)
+    znear: float = 0.1
+
+
+@_frozen
+class BundleConfig:
+    """Pose-graph optimizer settings (reference: config bundle.*)."""
+
+    num_iter_outer: int = 7  # GN outer iterations (num_iter_outter)
+    num_iter_inner: int = 5  # PCG inner iterations
+    window_size: int = 2  # non-keyframe sliding window (excl. keyframes, incl. new)
+    max_ba_frames: int = 16  # reference 15; padded to 16 for TPU tile alignment
+    subset_selection_method: str = "greedy_rot"
+    robust_delta: float = 0.005
+    min_fm_edges_newframe: int = 5
+    image_downscale: int = 4  # dense point-to-plane term resolution divisor
+    solver_backend: str = "cholesky"  # "cholesky" (dense 6Kx6K normal eqs) or "pcg"
+    lm_lambda: float = 1e-6  # Levenberg damping added to the normal equations
+    w_sparse: float = 1.0  # reference SBA.cpp:28-32 weightsSparse = 1
+    w_dense_depth: float = 1.0  # weightsDenseDepth = 1
+    w_dense_color: float = 0.0  # weightsDenseColor = 0 (compiled but disabled)
+    early_stop_delta: float = 0.005  # reference early-out when max delta small
+
+
+@_frozen
+class KeyframeConfig:
+    min_interval: int = 1
+    min_feat_num: int = 0
+    min_rot: float = 10.0  # degrees of rotation from every existing keyframe
+    pool_size: int = 32  # static capacity of the keyframe memory pool (TPU shape)
+
+
+@_frozen
+class FeatureCorresConfig:
+    """Geometric gates for descriptor matching (reference feature_corres.*)."""
+
+    mutual: bool = True
+    max_dist_no_neighbor: float = 0.02
+    max_normal_no_neighbor: float = 45.0
+    max_dist_neighbor: float = 0.03
+    max_normal_neighbor: float = 45.0
+    map_points: bool = True  # propagate matches through the landmark table
+
+
+@_frozen
+class RansacConfig:
+    max_iter: int = 2000
+    num_sample: int = 3
+    inlier_dist: float = 0.01
+    inlier_normal_angle: float = 45.0
+    max_trans_neighbor: float = 0.05
+    max_rot_deg_neighbor: float = 45.0
+    max_trans_no_neighbor: float = 0.02
+    max_rot_no_neighbor: float = 10.0
+    epsilon: float = 1e-8
+    min_match_after_ransac: int = 5  # reference FeatureManager.cpp:233-241
+
+
+@_frozen
+class P2PConfig:
+    """Dense point-to-plane association gates (reference p2p.*)."""
+
+    max_dist: float = 0.02
+    max_normal_angle: float = 45.0
+    min_pair_pixels: int = 800  # pairs with fewer dense corrs are dropped
+    # weight = 1/min(log(n), 9) (reference WeightDenseCorrespondences_Kernel)
+
+
+@_frozen
+class FrontendConfig:
+    """Keypoint network settings (reference: lf-net-release/run_server.py:66-106)."""
+
+    kind: str = "classical"  # "lfnet" | "classical"
+    input_size: int = 400  # reference FeatureManager.cpp:851-854
+    top_k: int = 512  # reference 500; padded to 512
+    desc_dim: int = 256
+    # LF-Net detector (models/mso_resnet_detector.py get_model defaults)
+    net_block: int = 3
+    net_channel: int = 16
+    conv_ksize: int = 3
+    net_min_scale: float = 2.0 ** -3
+    net_max_scale: float = 1.0
+    net_num_scales: int = 9
+    sm_ksize: int = 15  # soft_nms_3d spatial window
+    com_strength: float = 100.0
+    score_com_strength: float = 100.0
+    scale_com_strength: float = 100.0
+    nms_thresh: float = 0.0
+    nms_ksize: int = 5
+    crop_radius: int = 16
+    patch_size: int = 32
+    kp_loc_size: int = 9
+    soft_kpts: bool = True
+    soft_scale: bool = True
+    do_softmax_kp_refine: bool = True
+    kp_com_strength: float = 1.0
+    # SimpleDesc (models/simple_desc.py)
+    desc_net_channel: int = 64
+    desc_net_depth: int = 3
+    desc_conv_ksize: int = 3
+    # classical frontend
+    harris_k: float = 0.04
+    harris_sigma: float = 1.0
+
+
+@_frozen
+class SegmentationConfig:
+    """Video-object-segmentation settings (reference: transductive-vos run_video.py)."""
+
+    seg_dilation_iter: int = 0  # NOCS uses 3
+    backbone: str = "resnet18"
+    ref_num: int = 9
+    sigma1: float = 8.0
+    sigma2: float = 21.0
+    temperature: float = 1.0
+    range_: int = 40
+    downscale: int = 8
+
+
+@_frozen
+class ShapeConfig:
+    """Static capacities that replace the reference's dynamic std::vectors.
+
+    XLA compiles fixed shapes; every dynamically sized quantity in the
+    reference (matches per pair, keyframes, RANSAC inliers) becomes a padded
+    array + validity mask at these capacities.
+    """
+
+    max_matches: int = 256  # per-pair correspondence capacity M
+    max_landmarks: int = 2048  # map-point table capacity
+    image_h: int = 480
+    image_w: int = 640
+
+
+@_frozen
+class TrackerConfig:
+    data_dir: str = ""
+    mask_dir: str = ""
+    model_name: str = ""
+    model_dir: str = ""
+    debug_dir: str = "/tmp/bundletrack_tpu/"
+    log_level: int = 0  # reference LOG
+    use_6pack_datalist: bool = False
+
+    depth_processing: DepthProcessingConfig = DepthProcessingConfig()
+    bundle: BundleConfig = BundleConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+    feature_corres: FeatureCorresConfig = FeatureCorresConfig()
+    ransac: RansacConfig = RansacConfig()
+    p2p: P2PConfig = P2PConfig()
+    frontend: FrontendConfig = FrontendConfig()
+    segmentation: SegmentationConfig = SegmentationConfig()
+    shapes: ShapeConfig = ShapeConfig()
+
+    def replace(self, **kw) -> "TrackerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def nocs_config(**overrides) -> TrackerConfig:
+    """NOCS-REAL275 preset (reference: config_nocs.yml deltas vs ycbineoat)."""
+    cfg = TrackerConfig(
+        use_6pack_datalist=True,
+        bundle=BundleConfig(min_fm_edges_newframe=10),
+        feature_corres=FeatureCorresConfig(
+            max_dist_neighbor=10000.0, max_normal_neighbor=180.0
+        ),
+        ransac=RansacConfig(
+            inlier_dist=0.005, max_trans_neighbor=0.2, max_rot_deg_neighbor=25.0
+        ),
+        segmentation=SegmentationConfig(seg_dilation_iter=3),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def ycbineoat_config(**overrides) -> TrackerConfig:
+    cfg = TrackerConfig()
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def _update_dataclass(dc, data: Mapping[str, Any]):
+    """Recursively rebuild a frozen dataclass from a nested mapping."""
+    kw = {}
+    names = {f.name: f for f in dataclasses.fields(dc)}
+    for key, val in data.items():
+        name = _YAML_ALIASES.get(key, key)
+        if name not in names:
+            continue
+        cur = getattr(dc, name)
+        if dataclasses.is_dataclass(cur) and isinstance(val, Mapping):
+            kw[name] = _update_dataclass(cur, val)
+        else:
+            kw[name] = val
+    return dataclasses.replace(dc, **kw)
+
+
+# Reference YAML key -> our field name
+_YAML_ALIASES = {
+    "LOG": "log_level",
+    "num_iter_outter": "num_iter_outer",
+    "max_BA_frames": "max_ba_frames",
+    "sigma_D": "sigma_d",
+    "sigma_R": "sigma_r",
+}
+
+
+def load_config(path_or_dict, base: Optional[TrackerConfig] = None) -> TrackerConfig:
+    """Load a TrackerConfig from a reference-format YAML file or a dict.
+
+    Accepts the reference's YAML schema (config_ycbineoat.yml) so existing
+    configs work unmodified; unknown keys (e.g. the dead `sift:` block,
+    FeatureManager.cpp:84-120) are ignored.
+    """
+    base = base or TrackerConfig()
+    if isinstance(path_or_dict, Mapping):
+        data = dict(path_or_dict)
+    else:
+        import yaml
+
+        with open(path_or_dict) as f:
+            data = yaml.safe_load(f)
+    return _update_dataclass(base, data)

@@ -1,0 +1,31 @@
+from bundletrack_tpu.ops.depth import (
+    erode_depth,
+    bilateral_filter_depth,
+    process_depth,
+)
+from bundletrack_tpu.ops.pointcloud import (
+    compute_normals,
+    depth_to_cloud_and_normals,
+    downsample_nearest,
+)
+from bundletrack_tpu.ops.masks import dilate_mask, mask_roi, largest_component_fill
+from bundletrack_tpu.ops.resize import (
+    crop_resize_square,
+    resize_bilinear,
+    keypoints_to_original,
+)
+
+__all__ = [
+    "erode_depth",
+    "bilateral_filter_depth",
+    "process_depth",
+    "compute_normals",
+    "depth_to_cloud_and_normals",
+    "downsample_nearest",
+    "dilate_mask",
+    "mask_roi",
+    "largest_component_fill",
+    "crop_resize_square",
+    "resize_bilinear",
+    "keypoints_to_original",
+]

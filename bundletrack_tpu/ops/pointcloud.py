@@ -1,0 +1,72 @@
+"""Depth -> camera-space cloud + normals.
+
+Reference: src/cuda/CUDAImageUtil.cu:310-341
+convertDepthFloatToCameraSpaceFloat4 and 342-427 computeNormals (cross-product
+of central differences), called from Frame::depthToCloudAndNormals
+(src/Frame.cpp:182-233).  Normals here point toward the camera (-z half-space),
+matching the reference's orientation convention.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from bundletrack_tpu.geometry.camera import unproject
+
+
+def compute_normals(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Cross-product normals from a structured point map.
+
+    Args:
+      points: [H, W, 3] camera-space points.
+      valid: [H, W] bool.
+
+    Returns:
+      [H, W, 3] unit normals (zero where undefined).
+    """
+    # central differences via shifts
+    right = jnp.roll(points, -1, axis=1)
+    left = jnp.roll(points, 1, axis=1)
+    down = jnp.roll(points, -1, axis=0)
+    up = jnp.roll(points, 1, axis=0)
+    v_r = jnp.roll(valid, -1, axis=1)
+    v_l = jnp.roll(valid, 1, axis=1)
+    v_d = jnp.roll(valid, -1, axis=0)
+    v_u = jnp.roll(valid, 1, axis=0)
+    H, W = valid.shape[-2:]
+    border = jnp.zeros((H, W), bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+
+    dx = right - left
+    dy = down - up
+    n = jnp.cross(dy, dx)  # orientation so n faces the camera after flip below
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    ok = (v_r & v_l & v_d & v_u & valid & (~border) & (norm[..., 0] > 1e-10))
+    n = n / jnp.maximum(norm, 1e-10)
+    # Make normals face the camera: n . p < 0 (camera at origin looking +z)
+    flip = jnp.sum(n * points, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    return jnp.where(ok[..., None], n, 0.0)
+
+
+def depth_to_cloud_and_normals(depth: jnp.ndarray, K: jnp.ndarray):
+    """Returns (points [H,W,3], normals [H,W,3], valid [H,W])."""
+    valid = depth > 0.1
+    pts = unproject(depth, K)
+    pts = jnp.where(valid[..., None], pts, 0.0)
+    normals = compute_normals(pts, valid)
+    valid = valid & (jnp.linalg.norm(normals, axis=-1) > 0.5)
+    return pts, normals, valid
+
+
+def downsample_nearest(img: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Stride-subsample [..., H, W, ...] by `factor` along H and W.
+
+    Reference CUDACache::storeFrame resamples frames to low res before the
+    dense solver term (src/cuda/CUDACache.cpp:76-88); nearest keeps depth
+    edges crisp (no mixing across discontinuities).
+    """
+    if img.ndim >= 3 and img.shape[-1] in (1, 2, 3, 4):  # channel-last
+        return img[..., ::factor, ::factor, :]
+    return img[..., ::factor, ::factor]

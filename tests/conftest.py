@@ -1,0 +1,22 @@
+"""Test config: run all tests on CPU with 8 virtual devices.
+
+Mirrors the driver's dryrun environment: multi-chip sharding is validated on a
+virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count) since only
+one real TPU chip is attached.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # the ambient env pins JAX_PLATFORMS=axon (TPU)
+
+import jax  # noqa: E402
+
+# The axon PJRT plugin (sitecustomize) overrides JAX_PLATFORMS at interpreter
+# start; the config knob below wins over it and pins tests to host CPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
