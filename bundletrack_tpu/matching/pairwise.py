@@ -1,0 +1,188 @@
+"""Batched pairwise feature matching with geometric gating.
+
+TPU-native rewrite of the reference correspondence engine
+(reference: src/FeatureManager.cpp:173-444 — findCorres, findCorresbyNN with
+GPU brute-force knnMatch k=5 both directions, pruneMatches world-distance +
+normal-angle gates, collectMutualMatches, and the multi-stream multi-pair
+variant findCorresbyNNMultiPair).
+
+Design notes (not a port):
+  * The reference's per-pair CUDA streams become an explicit batch axis [P];
+    one einsum computes all descriptor distance matrices on the MXU in bf16.
+  * The reference's k=5 kNN -> gate -> mutual-collect pipeline collapses to:
+    gate the *full* distance matrix (world distance + normal angle under the
+    current pose estimates), then take mutual nearest neighbors of the gated
+    matrix. Gating before the argmin subsumes "any of the top-5 that passes
+    the gates" with the stricter "best gated neighbor".
+  * Dynamic match lists become fixed [M]-slot arrays + validity masks,
+    selected by top-k score.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bundletrack_tpu.geometry.se3 import transform_points, transform_normals
+
+
+class MatchResult(NamedTuple):
+    """Padded matches for one (or a batch of) frame pair(s).
+
+    idx_a/idx_b: [..., M] int32 keypoint indices into each frame's arrays.
+    valid:       [..., M] bool.
+    """
+
+    idx_a: jnp.ndarray
+    idx_b: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def descriptor_distances(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distance matrix [..., Na, Nb] between descriptor sets.
+
+    Descriptors are L2-normalized by the frontend, so dist^2 = 2 - 2 a.b —
+    one bf16 matmul on the MXU (reference uses OpenCV CUDA BFMatcher,
+    FeatureManager.cpp:271-273).
+    """
+    sim = jax.lax.dot_general(
+        desc_a.astype(jnp.bfloat16),
+        desc_b.astype(jnp.bfloat16),
+        dimension_numbers=(((desc_a.ndim - 1,), (desc_b.ndim - 1,)),
+                           (tuple(range(desc_a.ndim - 2)), tuple(range(desc_b.ndim - 2)))),
+        preferred_element_type=jnp.float32,
+    )
+    na = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=-1)
+    nb = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=-1)
+    return na[..., :, None] + nb[..., None, :] - 2.0 * sim
+
+
+def geometric_gate(
+    pts_a: jnp.ndarray,
+    normals_a: jnp.ndarray,
+    pose_a: jnp.ndarray,
+    pts_b: jnp.ndarray,
+    normals_b: jnp.ndarray,
+    pose_b: jnp.ndarray,
+    max_dist: jnp.ndarray | float,
+    max_normal_deg: jnp.ndarray | float,
+) -> jnp.ndarray:
+    """[..., Na, Nb] bool gate: model-frame distance + normal angle.
+
+    The reference prunes matches whose world(model)-frame positions under the
+    current pose estimates are farther than max_dist or whose normals disagree
+    by more than max_normal_angle (pruneMatches, FeatureManager.cpp:290-336).
+    """
+    wa = transform_points(pose_a, pts_a)
+    wb = transform_points(pose_b, pts_b)
+    na = transform_normals(pose_a, normals_a)
+    nb = transform_normals(pose_b, normals_b)
+    d2 = jnp.sum((wa[..., :, None, :] - wb[..., None, :, :]) ** 2, axis=-1)
+    cos = jnp.einsum("...ik,...jk->...ij", na, nb)
+    cos_thresh = jnp.cos(jnp.deg2rad(max_normal_deg))
+    return (d2 < jnp.asarray(max_dist) ** 2) & (cos > cos_thresh)
+
+
+def mutual_nearest(dist: jnp.ndarray, gate: jnp.ndarray) -> jnp.ndarray:
+    """[..., Na, Nb] bool: mutual nearest neighbors of the gated distances."""
+    inf = jnp.asarray(jnp.inf, dist.dtype)
+    gated = jnp.where(gate, dist, inf)
+    best_b = jnp.argmin(gated, axis=-1)  # [..., Na]
+    best_a = jnp.argmin(gated, axis=-2)  # [..., Nb]
+    Na, Nb = dist.shape[-2], dist.shape[-1]
+    cols = jnp.arange(Nb)
+    rows = jnp.arange(Na)
+    is_best_b = best_b[..., :, None] == cols  # a's best is b
+    is_best_a = best_a[..., None, :] == rows[..., :, None]  # b's best is a
+    any_gate = gate & is_best_b & is_best_a
+    return any_gate
+
+
+def _select_top_matches(
+    mutual: jnp.ndarray, dist: jnp.ndarray, valid_a, valid_b, max_matches: int
+) -> MatchResult:
+    """Compress the [Na, Nb] mutual-match matrix into M top slots (per batch)."""
+    score_ok = mutual & valid_a[..., :, None] & valid_b[..., None, :]
+    # one match per row a at most (mutual-NN guarantees ≤1 true per row/col)
+    neg_dist = jnp.where(score_ok, -dist, -jnp.inf)
+    row_score = jnp.max(neg_dist, axis=-1)  # [..., Na]
+    row_b = jnp.argmax(neg_dist, axis=-1)  # [..., Na]
+    row_has = jnp.isfinite(row_score)
+    topv, topi = jax.lax.top_k(jnp.where(row_has, row_score, -jnp.inf), max_matches)
+    idx_a = topi.astype(jnp.int32)
+    idx_b = jnp.take_along_axis(row_b, topi, axis=-1).astype(jnp.int32)
+    valid = jnp.isfinite(topv)
+    idx_a = jnp.where(valid, idx_a, 0)
+    idx_b = jnp.where(valid, idx_b, 0)
+    return MatchResult(idx_a=idx_a, idx_b=idx_b, valid=valid)
+
+
+def match_pair(
+    desc_a,
+    pts_a,
+    normals_a,
+    valid_a,
+    pose_a,
+    desc_b,
+    pts_b,
+    normals_b,
+    valid_b,
+    pose_b,
+    max_dist,
+    max_normal_deg,
+    max_matches: int,
+) -> MatchResult:
+    """Full matching pipeline for one frame pair (vmap for batches)."""
+    dist = descriptor_distances(desc_a, desc_b)
+    gate = geometric_gate(
+        pts_a, normals_a, pose_a, pts_b, normals_b, pose_b, max_dist, max_normal_deg
+    )
+    mut = mutual_nearest(dist, gate)
+    return _select_top_matches(mut, dist, valid_a, valid_b, max_matches)
+
+
+def match_pairs_batched(
+    desc,  # [K, N, D] descriptor table (keyframe pool or BA subset)
+    pts,  # [K, N, 3]
+    normals,  # [K, N, 3]
+    kp_valid,  # [K, N]
+    poses,  # [K, 4, 4]
+    pair_i,  # [P] int32
+    pair_j,  # [P] int32
+    pair_valid,  # [P] bool
+    max_dist,
+    max_normal_deg,
+    max_matches: int,
+) -> MatchResult:
+    """All-pairs matching over a frame table — the BA edge builder.
+
+    Replaces the reference's per-pair loop in Bundler::optimizeGPU
+    (src/Bundler.cpp:298-324) with one batched program: gather both sides of
+    every (i, j) pair and vmap the single-pair pipeline.
+    """
+    gather = lambda arr, idx: jnp.take(arr, idx, axis=0)
+    res = jax.vmap(
+        match_pair,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
+    )(
+        gather(desc, pair_i),
+        gather(pts, pair_i),
+        gather(normals, pair_i),
+        gather(kp_valid, pair_i),
+        gather(poses, pair_i),
+        gather(desc, pair_j),
+        gather(pts, pair_j),
+        gather(normals, pair_j),
+        gather(kp_valid, pair_j),
+        gather(poses, pair_j),
+        max_dist,
+        max_normal_deg,
+        max_matches,
+    )
+    return MatchResult(
+        idx_a=res.idx_a,
+        idx_b=res.idx_b,
+        valid=res.valid & pair_valid[:, None],
+    )

@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from bundletrack_tpu.ransac import ransac_pair, ransac_multi_pair
+from bundletrack_tpu.ransac.ransac import refine_pose_on_inliers
+
+rng = np.random.RandomState(7)
+
+
+def make_scene(m=64, outlier_frac=0.4, noise=0.0005):
+    R = Rotation.from_rotvec(0.3 * rng.randn(3)).as_matrix().astype(np.float32)
+    t = 0.1 * rng.randn(3).astype(np.float32)
+    pts_a = rng.rand(m, 3).astype(np.float32)
+    pts_b = (R @ pts_a.T).T + t + noise * rng.randn(m, 3).astype(np.float32)
+    n_out = int(m * outlier_frac)
+    out_idx = rng.choice(m, n_out, replace=False)
+    pts_b[out_idx] += 0.5 * rng.rand(n_out, 3).astype(np.float32) + 0.05
+    normals_a = np.tile(np.array([0, 0, -1.0], np.float32), (m, 1))
+    normals_b = (R @ normals_a.T).T
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3], T[:3, 3] = R, t
+    inlier_mask = np.ones(m, bool)
+    inlier_mask[out_idx] = False
+    return pts_a, pts_b, normals_a, normals_b, T, inlier_mask
+
+
+class TestRansacPair:
+    def test_recovers_pose_with_outliers(self):
+        pts_a, pts_b, na, nb, T_true, inl_true = make_scene()
+        res = ransac_pair(
+            jax.random.PRNGKey(0),
+            jnp.asarray(pts_a), jnp.asarray(pts_b),
+            jnp.asarray(na), jnp.asarray(nb),
+            jnp.ones(len(pts_a), bool),
+            jnp.asarray(T_true),  # prior = truth (loose gates anyway)
+            num_trials=512, inlier_dist=0.01, trial_chunk=128,
+        )
+        assert bool(res.valid)
+        inl = np.asarray(res.inliers)
+        # all true inliers found, no outliers admitted
+        assert (inl == inl_true).mean() > 0.95
+        T_ref = np.asarray(refine_pose_on_inliers(
+            jnp.asarray(pts_a), jnp.asarray(pts_b), res.inliers))
+        np.testing.assert_allclose(T_ref[:3, :3], T_true[:3, :3], atol=5e-3)
+        np.testing.assert_allclose(T_ref[:3, 3], T_true[:3, 3], atol=5e-3)
+
+    def test_pose_gate_rejects(self):
+        pts_a, pts_b, na, nb, T_true, _ = make_scene(outlier_frac=0.0)
+        far_prior = np.eye(4, dtype=np.float32)
+        far_prior[:3, 3] = 100.0
+        res = ransac_pair(
+            jax.random.PRNGKey(0),
+            jnp.asarray(pts_a), jnp.asarray(pts_b),
+            jnp.asarray(na), jnp.asarray(nb),
+            jnp.ones(len(pts_a), bool),
+            jnp.asarray(far_prior),
+            num_trials=256, inlier_dist=0.01,
+            max_trans=0.01, max_rot_deg=5.0, trial_chunk=128,
+        )
+        assert not bool(res.valid)
+
+    def test_too_few_matches_invalid(self):
+        pts_a, pts_b, na, nb, T_true, _ = make_scene()
+        mv = jnp.asarray(np.arange(len(pts_a)) < 3)
+        res = ransac_pair(
+            jax.random.PRNGKey(0),
+            jnp.asarray(pts_a), jnp.asarray(pts_b),
+            jnp.asarray(na), jnp.asarray(nb), mv,
+            jnp.asarray(T_true), num_trials=256, trial_chunk=128,
+        )
+        assert not bool(res.valid)
+
+    def test_deterministic(self):
+        pts_a, pts_b, na, nb, T_true, _ = make_scene()
+        args = (
+            jnp.asarray(pts_a), jnp.asarray(pts_b),
+            jnp.asarray(na), jnp.asarray(nb),
+            jnp.ones(len(pts_a), bool), jnp.asarray(T_true),
+        )
+        r1 = ransac_pair(jax.random.PRNGKey(3), *args, num_trials=256, trial_chunk=128)
+        r2 = ransac_pair(jax.random.PRNGKey(3), *args, num_trials=256, trial_chunk=128)
+        np.testing.assert_array_equal(np.asarray(r1.inliers), np.asarray(r2.inliers))
+        np.testing.assert_array_equal(np.asarray(r1.best_pose), np.asarray(r2.best_pose))
+
+
+class TestRansacMultiPair:
+    def test_batched_pairs(self):
+        scenes = [make_scene() for _ in range(4)]
+        pa = jnp.asarray(np.stack([s[0] for s in scenes]))
+        pb = jnp.asarray(np.stack([s[1] for s in scenes]))
+        na = jnp.asarray(np.stack([s[2] for s in scenes]))
+        nb = jnp.asarray(np.stack([s[3] for s in scenes]))
+        mv = jnp.ones(pa.shape[:2], bool)
+        prior = jnp.asarray(np.stack([s[4] for s in scenes]))
+        res = ransac_multi_pair(
+            jax.random.PRNGKey(0), pa, pb, na, nb, mv, prior,
+            num_trials=512, inlier_dist=0.01, trial_chunk=128,
+        )
+        assert bool(res.valid.all())
+        for k in range(4):
+            inl = np.asarray(res.inliers[k])
+            assert (inl == scenes[k][5]).mean() > 0.9
