@@ -1,0 +1,138 @@
+"""Weight-free classical frontend: Shi-Tomasi corners + normalized patches.
+
+A deterministic, training-free stand-in for the learned LF-Net frontend with
+the same output contract (500-ish keypoints, 256-d L2-normalized
+descriptors — reference serves exactly that shape,
+lf-net-release/run_server.py:77,171).  Used for synthetic end-to-end tests
+and as a fallback when no LF-Net weights are available; the learned frontend
+lives in frontend/lfnet.py.
+
+Not rotation-invariant by design: BundleTrack matches temporally adjacent or
+rotation-gated keyframe pairs (keyframe admission requires >=10 deg rotation
+spread but matching pairs still share viewpoint), and the geometric gates do
+the heavy pruning.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bundletrack_tpu.frontend.interface import FrontendOutput
+
+
+def _gauss_kernel(sigma: float, radius: int):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _sep_conv(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2D convolution of [H, W] with 1D kernel k (same padding)."""
+    r = (k.shape[0] - 1) // 2
+    pad = jnp.pad(img, ((r, r), (r, r)), mode="edge")
+    out = jnp.zeros_like(img)
+    for i in range(k.shape[0]):
+        out = out + k[i] * pad[i : i + img.shape[0], r : r + img.shape[1]]
+    out2 = jnp.zeros_like(img)
+    pad = jnp.pad(out, ((r, r), (r, r)), mode="edge")
+    for i in range(k.shape[0]):
+        out2 = out2 + k[i] * pad[r : r + img.shape[0], i : i + img.shape[1]]
+    return out2
+
+
+def _gradients(img: jnp.ndarray):
+    gx = jnp.zeros_like(img)
+    gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    gy = jnp.zeros_like(img)
+    gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    return gx, gy
+
+
+def shi_tomasi_response(img: jnp.ndarray, sigma: float = 1.5) -> jnp.ndarray:
+    """Min-eigenvalue corner response of the smoothed structure tensor."""
+    gx, gy = _gradients(img)
+    k = _gauss_kernel(sigma, max(1, int(2 * sigma)))
+    Ixx = _sep_conv(gx * gx, k)
+    Iyy = _sep_conv(gy * gy, k)
+    Ixy = _sep_conv(gx * gy, k)
+    tr = Ixx + Iyy
+    det = Ixx * Iyy - Ixy * Ixy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    return tr / 2.0 - disc  # lambda_min
+
+
+def _nms(resp: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
+    """Strict local-maximum mask (reference det_tools.non_max_suppression)."""
+    r = ksize // 2
+    neg_inf = jnp.asarray(-jnp.inf, resp.dtype)
+    best = resp
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = jnp.roll(resp, (dy, dx), axis=(0, 1))
+            best = jnp.maximum(best, shifted)
+    return resp >= best
+
+
+def _extract_patches(img: jnp.ndarray, kpts_uv: jnp.ndarray, patch: int = 16):
+    """Bilinear patch extraction [N, patch, patch] around keypoints."""
+    N = kpts_uv.shape[0]
+    H, W = img.shape
+    offs = jnp.arange(patch, dtype=jnp.float32) - (patch - 1) / 2.0
+    gu = kpts_uv[:, None, None, 0] + offs[None, None, :]
+    gv = kpts_uv[:, None, None, 1] + offs[None, :, None]
+    u0 = jnp.clip(jnp.floor(gu).astype(jnp.int32), 0, W - 2)
+    v0 = jnp.clip(jnp.floor(gv).astype(jnp.int32), 0, H - 2)
+    du = jnp.clip(gu - u0, 0.0, 1.0)
+    dv = jnp.clip(gv - v0, 0.0, 1.0)
+    p00 = img[v0, u0]
+    p01 = img[v0, u0 + 1]
+    p10 = img[v0 + 1, u0]
+    p11 = img[v0 + 1, u0 + 1]
+    return (
+        p00 * (1 - du) * (1 - dv)
+        + p01 * du * (1 - dv)
+        + p10 * (1 - du) * dv
+        + p11 * du * dv
+    )
+
+
+def harris_keypoints_and_descriptors(
+    img: jnp.ndarray,  # [H, W] grayscale in [0, 1]
+    mask: jnp.ndarray,  # [H, W] bool detection region
+    top_k: int = 512,
+    patch: int = 16,
+    border: int = 10,
+    sigma: float = 1.5,
+    min_response: float = 1e-7,
+) -> FrontendOutput:
+    """Detect top-K corners and build 256-d normalized-patch descriptors."""
+    H, W = img.shape
+    resp = shi_tomasi_response(img, sigma)
+    peak = _nms(resp)
+    u = jnp.arange(W)[None, :]
+    v = jnp.arange(H)[:, None]
+    inb = (u >= border) & (u < W - border) & (v >= border) & (v < H - border)
+    score_map = jnp.where(peak & mask & inb & (resp > min_response), resp, -jnp.inf)
+    flat = score_map.reshape(-1)
+    scores, idx = jax.lax.top_k(flat, top_k)
+    ku = (idx % W).astype(jnp.float32)
+    kv = (idx // W).astype(jnp.float32)
+    valid = jnp.isfinite(scores)
+    kpts = jnp.stack([ku, kv], axis=-1)
+
+    patches = _extract_patches(img, kpts, patch)  # [N, p, p]
+    flatp = patches.reshape(top_k, -1)
+    mu = jnp.mean(flatp, axis=-1, keepdims=True)
+    sd = jnp.std(flatp, axis=-1, keepdims=True)
+    desc = (flatp - mu) / jnp.maximum(sd, 1e-6)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-6)
+    desc = jnp.where(valid[:, None], desc, 0.0)
+    return FrontendOutput(
+        kpts_uv=jnp.where(valid[:, None], kpts, 0.0),
+        scores=jnp.where(valid, scores, -jnp.inf),
+        desc=desc,
+        valid=valid,
+    )

@@ -24,10 +24,13 @@ Design (not a port):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+_mm = functools.partial(jnp.matmul, precision="highest")
 
 from bundletrack_tpu.geometry.procrustes import rigid_from_three_points, kabsch
 from bundletrack_tpu.geometry.se3 import (
@@ -104,7 +107,7 @@ def ransac_pair(
     T_ab, tri_ok = rigid_from_three_points(tri_a, tri_b)
 
     # --- model gate vs prior relative pose (reference max_trans/max_rot) --
-    rel = se3_inverse(prior_ab) @ T_ab
+    rel = _mm(se3_inverse(prior_ab), T_ab)
     trans_ok = jnp.linalg.norm(rel[:, :3, 3], axis=-1) < max_trans
     rot_ok = rotation_geodesic_distance(
         prior_ab[None, :3, :3], T_ab[:, :3, :3]
@@ -112,8 +115,14 @@ def ransac_pair(
     model_ok = tri_ok & distinct & trans_ok & rot_ok
 
     # --- score trials in chunks ------------------------------------------
-    T_chunks = T_ab.reshape(num_trials // trial_chunk, trial_chunk, 4, 4)
-    ok_chunks = model_ok.reshape(num_trials // trial_chunk, trial_chunk)
+    num_chunks = -(-num_trials // trial_chunk)
+    pad = num_chunks * trial_chunk - num_trials
+    T_pad = jnp.concatenate(
+        [T_ab, jnp.broadcast_to(jnp.eye(4, dtype=T_ab.dtype), (pad, 4, 4))]
+    ) if pad else T_ab
+    ok_pad = jnp.concatenate([model_ok, jnp.zeros((pad,), bool)]) if pad else model_ok
+    T_chunks = T_pad.reshape(num_chunks, trial_chunk, 4, 4)
+    ok_chunks = ok_pad.reshape(num_chunks, trial_chunk)
 
     def count_chunk(args):
         Tc, okc = args
@@ -122,7 +131,7 @@ def ransac_pair(
         )
         return jnp.sum(inl, axis=-1) * okc.astype(jnp.int32)
 
-    counts = jax.lax.map(count_chunk, (T_chunks, ok_chunks)).reshape(num_trials)
+    counts = jax.lax.map(count_chunk, (T_chunks, ok_chunks)).reshape(-1)[:num_trials]
 
     best = jnp.argmax(counts)
     best_pose = T_ab[best]

@@ -1,0 +1,328 @@
+"""The per-frame tracking state machine — one jit-compiled XLA program.
+
+TPU-native rewrite of Bundler::processNewFrame and optimizeGPU
+(reference: src/Bundler.cpp:56-183, 279-359):
+
+  preprocess depth -> features -> neighbor match + RANSAC -> Procrustes pose
+  init -> greedy_rot BA subset -> all-pairs matching + multi-pair RANSAC ->
+  robust GN pose-graph solve -> keyframe admission -> outputs.
+
+Everything — including the failure paths (FAIL / NO_BA, reference
+src/Frame.h:48-53) — runs inside a single jitted step with lax.cond, so a
+tracked stream costs one host->device dispatch per frame, and S streams batch
+by vmap over the state pytree (the scale-out axis the reference lacks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundletrack_tpu.config import TrackerConfig
+from bundletrack_tpu.frontend.pipeline import FrameFeatures, extract_frame_features
+from bundletrack_tpu.geometry.camera import scale_intrinsics
+from bundletrack_tpu.geometry.se3 import se3_compose, se3_inverse
+from bundletrack_tpu.matching.pairwise import match_pair, match_pairs_batched
+from bundletrack_tpu.ops.depth import process_depth
+from bundletrack_tpu.ops.pointcloud import depth_to_cloud_and_normals
+from bundletrack_tpu.ransac.ransac import (
+    ransac_multi_pair,
+    ransac_pair,
+    refine_pose_on_inliers,
+)
+from bundletrack_tpu.solver.dense_p2p import DenseFrames
+from bundletrack_tpu.solver.gauss_newton import GraphInputs, optimize_pose_graph
+from bundletrack_tpu.solver.residuals import SparseCorres
+from bundletrack_tpu.tracker.selection import (
+    eviction_slot,
+    keyframe_admission,
+    select_ba_subset,
+)
+from bundletrack_tpu.tracker.state import (
+    STATUS_FAIL,
+    STATUS_NO_BA,
+    STATUS_OK,
+    FrameObservation,
+    TrackerState,
+    TrackOutput,
+)
+from bundletrack_tpu.matching.mappoints import forget_frame as forget_frame_mappoints
+
+
+def _preprocess(obs: FrameObservation, cfg: TrackerConfig):
+    """Depth chain + cloud/normals + low-res cache (reference Frame ctor +
+    CUDACache::storeFrame)."""
+    depth = process_depth(obs.depth, cfg.depth_processing)
+    pts_map, nrm_map, val_map = depth_to_cloud_and_normals(depth, obs.K)
+    mask = obs.mask & (depth > 0.1)
+    val_map = val_map & obs.mask
+    ds = cfg.bundle.image_downscale
+    pts_low = pts_map[::ds, ::ds]
+    nrm_low = nrm_map[::ds, ::ds]
+    val_low = val_map[::ds, ::ds]
+    K_low = scale_intrinsics(obs.K, 1.0 / ds)
+    return depth, mask, pts_map, nrm_map, val_map, pts_low, nrm_low, val_low, K_low
+
+
+def _gather_match_points(ba_pts, ba_normals, pair_i, pair_j, matches):
+    """[K,N,3] tables + match indices -> per-pair matched point arrays."""
+    pi = jnp.take(ba_pts, pair_i, axis=0)  # [P, N, 3]
+    pj = jnp.take(ba_pts, pair_j, axis=0)
+    ni = jnp.take(ba_normals, pair_i, axis=0)
+    nj = jnp.take(ba_normals, pair_j, axis=0)
+    g = lambda arr, idx: jnp.take_along_axis(arr, idx[..., None], axis=1)
+    return g(pi, matches.idx_a), g(pj, matches.idx_b), g(ni, matches.idx_a), g(
+        nj, matches.idx_b
+    )
+
+
+def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
+    """Build the jittable per-frame step for images of size HxW."""
+
+    K_BA = cfg.bundle.max_ba_frames
+    n_pool_sel = K_BA - 1
+    pair_i_np, pair_j_np = np.triu_indices(K_BA, k=1)
+    PAIR_I = jnp.asarray(pair_i_np, jnp.int32)
+    PAIR_J = jnp.asarray(pair_j_np, jnp.int32)
+    M = cfg.shapes.max_matches
+
+    def step(
+        state: TrackerState, obs: FrameObservation, init_pose: jnp.ndarray
+    ):
+        (
+            depth,
+            mask,
+            pts_map,
+            nrm_map,
+            val_map,
+            pts_low,
+            nrm_low,
+            val_low,
+            K_low,
+        ) = _preprocess(obs, cfg)
+
+        feats = extract_frame_features(
+            obs.gray, mask, pts_map, nrm_map, val_map, cfg.frontend, lfnet_apply
+        )
+        n_feat = jnp.sum(feats.valid)
+        roi_ok = jnp.sum(mask) > 100  # reference FAILs on tiny ROI
+
+        key, k_neighbor, k_multi = jax.random.split(state.rng_key, 3)
+        state = state._replace(rng_key=key)
+
+        def first_frame(_):
+            pose0 = init_pose
+            new_state = _admit_keyframe(
+                state, feats, pose0, pts_low, nrm_low, val_low,
+                frame_id=jnp.asarray(0, jnp.int32),
+            )
+            new_state = _set_prev(new_state, feats, pose0, pts_low, nrm_low, val_low)
+            new_state = new_state._replace(
+                frame_count=jnp.asarray(1, jnp.int32),
+                last_status=jnp.asarray(STATUS_OK, jnp.int32),
+            )
+            out = TrackOutput(
+                ob_in_cam=se3_inverse(pose0),
+                pose_in_model=pose0,
+                status=jnp.asarray(STATUS_OK, jnp.int32),
+                num_matches=jnp.asarray(0, jnp.int32),
+                num_ba_edges=jnp.asarray(0, jnp.int32),
+            )
+            return new_state, out
+
+        def track(_):
+            # ---- neighbor matching + RANSAC + Procrustes init ------------
+            fc = cfg.feature_corres
+            rc = cfg.ransac
+            pose_init = state.prev_pose  # reference inits to last pose
+            nb = match_pair(
+                feats.desc, feats.pts, feats.normals, feats.valid, pose_init,
+                state.prev_desc, state.prev_pts, state.prev_normals,
+                state.prev_kp_valid, state.prev_pose,
+                max_dist=fc.max_dist_neighbor,
+                max_normal_deg=fc.max_normal_neighbor,
+                max_matches=M,
+            )
+            pa = feats.pts[nb.idx_a]
+            pb = state.prev_pts[nb.idx_b]
+            na = feats.normals[nb.idx_a]
+            nbn = state.prev_normals[nb.idx_b]
+            rr = ransac_pair(
+                k_neighbor, pa, pb, na, nbn, nb.valid,
+                jnp.eye(4),  # prior: new cam ~ prev cam
+                num_trials=rc.max_iter,
+                inlier_dist=rc.inlier_dist,
+                inlier_normal_deg=rc.inlier_normal_angle,
+                max_trans=rc.max_trans_neighbor,
+                max_rot_deg=rc.max_rot_deg_neighbor,
+                min_matches=rc.min_match_after_ransac,
+                trial_chunk=min(256, rc.max_iter),
+            )
+            T_new_to_prev = refine_pose_on_inliers(pa, pb, rr.inliers)
+            pose_new = jnp.where(
+                rr.valid, se3_compose(state.prev_pose, T_new_to_prev), pose_init
+            )
+            fail = (~rr.valid) | (~roi_ok) | (n_feat < 5)
+
+            # ---- BA subset + edges ---------------------------------------
+            slots, sel_valid = select_ba_subset(
+                state.kf_frame_id, state.kf_pose, pose_new, n_pool_sel
+            )
+            gat = lambda a: jnp.take(a, slots, axis=0)
+            app = lambda pool, new: jnp.concatenate([pool, new[None]], axis=0)
+            ba_desc = app(gat(state.kf_desc), feats.desc)
+            ba_pts = app(gat(state.kf_pts), feats.pts)
+            ba_nrm = app(gat(state.kf_normals), feats.normals)
+            ba_kpv = app(
+                gat(state.kf_kp_valid) & sel_valid[:, None], feats.valid
+            )
+            ba_pose = app(gat(state.kf_pose), pose_new)
+            ba_valid = jnp.concatenate([sel_valid, (~fail)[None]])
+            ba_plow = app(gat(state.kf_points_low), pts_low)
+            ba_nlow = app(gat(state.kf_normals_low), nrm_low)
+            ba_vlow = app(gat(state.kf_valid_low), val_low)
+
+            pair_valid = ba_valid[PAIR_I] & ba_valid[PAIR_J]
+            bm = match_pairs_batched(
+                ba_desc, ba_pts, ba_nrm, ba_kpv, ba_pose,
+                PAIR_I, PAIR_J, pair_valid,
+                max_dist=fc.max_dist_no_neighbor,
+                max_normal_deg=fc.max_normal_no_neighbor,
+                max_matches=M,
+            )
+            mpa, mpb, mna, mnb = _gather_match_points(
+                ba_pts, ba_nrm, PAIR_I, PAIR_J, bm
+            )
+            prior = se3_compose(se3_inverse(ba_pose[PAIR_J]), ba_pose[PAIR_I])
+            mr = ransac_multi_pair(
+                k_multi, mpa, mpb, mna, mnb, bm.valid, prior,
+                num_trials=rc.max_iter,
+                inlier_dist=rc.inlier_dist,
+                inlier_normal_deg=rc.inlier_normal_angle,
+                max_trans=rc.max_trans_no_neighbor,
+                max_rot_deg=rc.max_rot_no_neighbor,
+                min_matches=rc.min_match_after_ransac,
+                trial_chunk=min(256, rc.max_iter),
+            )
+            edge_valid = bm.valid & mr.inliers
+            new_idx = K_BA - 1
+            touches_new = (PAIR_I == new_idx) | (PAIR_J == new_idx)
+            n_edges_new = jnp.sum(edge_valid & touches_new[:, None])
+            no_ba = n_edges_new <= cfg.bundle.min_fm_edges_newframe
+
+            corres = SparseCorres(
+                pair_i=PAIR_I, pair_j=PAIR_J,
+                pts_i=mpa, pts_j=mpb, valid=edge_valid,
+            )
+            dense = DenseFrames(points=ba_plow, normals=ba_nlow, valid=ba_vlow)
+            free_mask = jnp.arange(K_BA) > 0  # anchor oldest selected frame
+
+            def run_ba(_):
+                inputs = GraphInputs(
+                    poses=ba_pose,
+                    frame_valid=ba_valid,
+                    free_mask=free_mask,
+                    corres=corres,
+                    dense=dense,
+                    K_lowres=K_low,
+                )
+                opt_poses, _info = optimize_pose_graph(inputs, cfg.bundle)
+                return opt_poses
+
+            ba_out_poses = jax.lax.cond(
+                no_ba | fail, lambda _: ba_pose, run_ba, operand=None
+            )
+            pose_final = jnp.where(fail, state.prev_pose, ba_out_poses[new_idx])
+
+            # scatter optimized keyframe poses back into the pool
+            kf_pose = state.kf_pose.at[
+                jnp.where(sel_valid, slots, state.kf_pose.shape[0])
+            ].set(ba_out_poses[:n_pool_sel], mode="drop")
+
+            status = jnp.where(
+                fail,
+                STATUS_FAIL,
+                jnp.where(no_ba, STATUS_NO_BA, STATUS_OK),
+            ).astype(jnp.int32)
+
+            st = state._replace(kf_pose=kf_pose)
+
+            # ---- keyframe admission (status OK only) ---------------------
+            admit = keyframe_admission(
+                st.kf_frame_id, st.kf_pose, pose_final, n_feat,
+                status == STATUS_OK,
+                cfg.keyframe.min_feat_num, cfg.keyframe.min_rot,
+            )
+            st_admit = _admit_keyframe(
+                st, feats, pose_final, pts_low, nrm_low, val_low,
+                frame_id=st.frame_count,
+            )
+            st = jax.tree.map(
+                lambda a, b: jnp.where(admit, a, b), st_admit, st
+            )
+
+            # ---- prev update (skip on FAIL: reference forgets the frame) --
+            st_prev = _set_prev(st, feats, pose_final, pts_low, nrm_low, val_low)
+            st = jax.tree.map(lambda a, b: jnp.where(~fail, a, b), st_prev, st)
+
+            st = st._replace(
+                frame_count=st.frame_count + 1,
+                last_status=status,
+                need_reinit=st.need_reinit | (status == STATUS_FAIL),
+            )
+            out = TrackOutput(
+                ob_in_cam=se3_inverse(pose_final),
+                pose_in_model=pose_final,
+                status=status,
+                num_matches=rr.num_inliers.astype(jnp.int32),
+                num_ba_edges=n_edges_new.astype(jnp.int32),
+            )
+            return st, out
+
+        return jax.lax.cond(state.frame_count == 0, first_frame, track, None)
+
+    return step
+
+
+def _admit_keyframe(
+    state: TrackerState, feats: FrameFeatures, pose, pts_low, nrm_low, val_low,
+    frame_id,
+):
+    slot = eviction_slot(state.kf_frame_id, state.kf_pose)
+    mp = forget_frame_mappoints(state.mappoints, slot)
+    return state._replace(
+        kf_desc=state.kf_desc.at[slot].set(feats.desc),
+        kf_pts=state.kf_pts.at[slot].set(feats.pts),
+        kf_normals=state.kf_normals.at[slot].set(feats.normals),
+        kf_kp_valid=state.kf_kp_valid.at[slot].set(feats.valid),
+        kf_pose=state.kf_pose.at[slot].set(pose),
+        kf_points_low=state.kf_points_low.at[slot].set(pts_low),
+        kf_normals_low=state.kf_normals_low.at[slot].set(nrm_low),
+        kf_valid_low=state.kf_valid_low.at[slot].set(val_low),
+        kf_frame_id=state.kf_frame_id.at[slot].set(frame_id),
+        mappoints=mp,
+    )
+
+
+def _set_prev(state: TrackerState, feats: FrameFeatures, pose, pts_low, nrm_low, val_low):
+    return state._replace(
+        prev_desc=feats.desc,
+        prev_pts=feats.pts,
+        prev_normals=feats.normals,
+        prev_kp_valid=feats.valid,
+        prev_pose=pose,
+        prev_points_low=pts_low,
+        prev_normals_low=nrm_low,
+        prev_valid_low=val_low,
+        prev_valid=jnp.asarray(True),
+    )
+
+
+def track_frame(state, obs, init_pose, cfg: TrackerConfig):
+    """Convenience non-specialized entry (compiles per image size)."""
+    H, W = obs.gray.shape
+    return make_track_frame(cfg, H, W)(state, obs, init_pose)

@@ -1,0 +1,92 @@
+"""Thin host driver: feeds frames to the jitted tracker step.
+
+Role of the reference's app main loop (reference: src/app/
+bundle_track_ycbineoat.cpp:42-80 — loader.next() -> processNewFrame ->
+saveNewframeResult).  The host does IO and bookkeeping only; all math is one
+jit call per frame.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundletrack_tpu.config import TrackerConfig
+from bundletrack_tpu.tracker.bundler import make_track_frame
+from bundletrack_tpu.tracker.state import (
+    FrameObservation,
+    TrackerState,
+    init_tracker_state,
+)
+
+
+class Tracker:
+    """Single-stream tracker with the reference's per-frame API."""
+
+    def __init__(
+        self,
+        cfg: TrackerConfig,
+        H: int,
+        W: int,
+        lfnet_apply=None,
+        seed: int = 0,
+        donate: bool = True,
+    ):
+        self.cfg = cfg
+        self.H, self.W = H, W
+        step = make_track_frame(cfg, H, W, lfnet_apply)
+        # donate the state buffers: the pool stays device-resident, zero-copy
+        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        self.state: TrackerState = init_tracker_state(cfg, H, W, seed)
+        self.outputs = []
+
+    def process_frame(
+        self,
+        gray: np.ndarray,
+        depth: np.ndarray,
+        mask: np.ndarray,
+        K: np.ndarray,
+        init_pose: Optional[np.ndarray] = None,
+    ):
+        obs = FrameObservation(
+            gray=jnp.asarray(gray, jnp.float32),
+            depth=jnp.asarray(depth, jnp.float32),
+            mask=jnp.asarray(mask, bool),
+            K=jnp.asarray(K, jnp.float32),
+        )
+        if init_pose is None:
+            init_pose = np.eye(4, dtype=np.float32)
+        self.state, out = self._step(self.state, obs, jnp.asarray(init_pose, jnp.float32))
+        self.outputs.append(out)
+        return out
+
+    def save_result(self, out_dir: str, frame_idx: int, out) -> None:
+        """Write ob_in_cam in the reference's poses/<id>.txt format
+        (reference Bundler::saveNewframeResult, src/Bundler.cpp:362-377)."""
+        pose_dir = os.path.join(out_dir, "poses")
+        os.makedirs(pose_dir, exist_ok=True)
+        np.savetxt(
+            os.path.join(pose_dir, f"{frame_idx:05d}.txt"),
+            np.asarray(out.ob_in_cam),
+            fmt="%.8f",
+        )
+
+
+def track_sequence(cfg: TrackerConfig, seq, init_pose=None, lfnet_apply=None):
+    """Track a SyntheticSequence-like object; returns stacked ob_in_cam and statuses."""
+    F, H, W = seq.gray.shape
+    tracker = Tracker(cfg, H, W, lfnet_apply)
+    if init_pose is None:
+        init_pose = np.linalg.inv(seq.ob_in_cam[0])
+    poses, statuses = [], []
+    for f in range(F):
+        out = tracker.process_frame(
+            seq.gray[f], seq.depth[f], seq.mask[f], seq.K, init_pose=init_pose
+        )
+        poses.append(np.asarray(out.ob_in_cam))
+        statuses.append(int(out.status))
+    return np.stack(poses), np.asarray(statuses), tracker
