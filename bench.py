@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark: single-stream tracking rate at reference scale on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's published end-to-end rate of 10 Hz on an RTX 3090
+(reference README.md:8, "real-time performance of 10Hz for the entire
+framework").  Scale mirrors BASELINE.md's per-frame envelope: 480x640 RGB-D,
+512 keypoints x 256-d descriptors, <=16-frame pose graph (105+ pairs),
+2000-trial RANSAC, 7x5 solver iterations, dense term at 120x160.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bundletrack_tpu.config import TrackerConfig, ShapeConfig
+    from bundletrack_tpu.data import render_synthetic_sequence
+    from bundletrack_tpu.tracker.driver import Tracker
+    from bundletrack_tpu.tracker.state import FrameObservation
+
+    H, W = 480, 640
+    cfg = TrackerConfig(shapes=ShapeConfig(image_h=H, image_w=W))
+
+    n_frames = 24
+    seq = render_synthetic_sequence(
+        num_frames=n_frames, H=H, W=W, orbit_deg_per_frame=2.0
+    )
+    init_pose = np.linalg.inv(seq.ob_in_cam[0])
+
+    tracker = Tracker(cfg, H, W)
+
+    def frame_obs(f):
+        return (
+            jnp.asarray(seq.gray[f]),
+            jnp.asarray(seq.depth[f]),
+            jnp.asarray(seq.mask[f]),
+            jnp.asarray(seq.K),
+        )
+
+    # warmup: first frames trigger compilation of both cond branches
+    n_warm = 4
+    for f in range(n_warm):
+        out = tracker.process_frame(
+            seq.gray[f], seq.depth[f], seq.mask[f], seq.K, init_pose=init_pose
+        )
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for f in range(n_warm, n_frames):
+        out = tracker.process_frame(
+            seq.gray[f], seq.depth[f], seq.mask[f], seq.K, init_pose=init_pose
+        )
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    timed = n_frames - n_warm
+    fps = timed / dt
+
+    statuses = [int(np.asarray(o.status)) for o in tracker.outputs]
+    print(
+        f"[bench] {timed} frames in {dt:.3f}s -> {fps:.2f} fps; "
+        f"statuses={statuses}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "single_stream_tracking_rate_480x640",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Transductive video-object segmentation (mask propagation) in JAX/Flax.
+
+From-scratch reimplementation of the reference's VOS subproject
+(reference: transductive-vos.pytorch — modeling/network.py:8-50 VOSNet =
+ResNet backbone + 1x1 projection to 256-d features at 1/8 resolution;
+lib/predict.py:10-60 label propagation by softmax feature similarity with
+Gaussian spatial priors sigma1=8 (dense recent refs) / sigma2=21 (sparse
+older refs); frame sampling 63-78: ref_num=9 = 4 dense recent + sparse over
+range 40; run_video.py:77-160 online loop writing mask PNGs consumed by the
+tracker).
+
+TPU design notes: the similarity is one big [h*w, R*h*w] bf16 matmul on the
+MXU; the spatial prior is precomputed per resolution; the reference's
+per-frame Python loop over history becomes a fixed-capacity ring buffer of
+features+labels, so one jitted call propagates a mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ResNetBlock(nn.Module):
+    channels: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride))(x)
+        h = nn.GroupNorm(num_groups=8)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.channels, (3, 3))(h)
+        h = nn.GroupNorm(num_groups=8)(h)
+        if x.shape[-1] != self.channels or self.stride != 1:
+            x = nn.Conv(self.channels, (1, 1), strides=(self.stride, self.stride))(x)
+        return nn.relu(h + x)
+
+
+class VOSNet(nn.Module):
+    """Feature extractor at 1/8 resolution, `out_dim`-d (reference VOSNet)."""
+
+    out_dim: int = 256
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, rgb):  # [B, H, W, 3] in [0, 1]
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2))(rgb)  # /2
+        x = nn.GroupNorm(num_groups=8)(x)
+        x = nn.relu(x)
+        x = ResNetBlock(self.width)(x)
+        x = ResNetBlock(self.width * 2, stride=2)(x)  # /4
+        x = ResNetBlock(self.width * 2)(x)
+        x = ResNetBlock(self.width * 4, stride=2)(x)  # /8
+        x = ResNetBlock(self.width * 4)(x)
+        x = nn.Conv(self.out_dim, (1, 1))(x)  # projection (reference 1024->256)
+        # l2-normalize features for cosine similarity
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6)
+
+
+def spatial_weight(h: int, w: int, sigma: float) -> jnp.ndarray:
+    """[h*w, h*w] Gaussian distance prior (reference lib/predict.py:115-130)."""
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pos = np.stack([ys.ravel(), xs.ravel()], axis=-1).astype(np.float32)
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    return jnp.asarray(np.exp(-d2 / (sigma * sigma)))
+
+
+def propagate_labels(
+    feats_ref: jnp.ndarray,  # [R, h, w, C]
+    labels_ref: jnp.ndarray,  # [R, h, w, L] one-hot/soft
+    ref_valid: jnp.ndarray,  # [R] bool
+    ref_is_recent: jnp.ndarray,  # [R] bool: True -> sigma1 prior, else sigma2
+    feat_tgt: jnp.ndarray,  # [h, w, C]
+    w_sigma1: jnp.ndarray,  # [h*w, h*w]
+    w_sigma2: jnp.ndarray,  # [h*w, h*w]
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Soft target labels [h, w, L] by spatially-weighted attention
+    (reference lib/predict.py:10-60)."""
+    R, h, w, C = feats_ref.shape
+    L = labels_ref.shape[-1]
+    N = h * w
+    fr = feats_ref.reshape(R, N, C)
+    ft = feat_tgt.reshape(N, C)
+    # similarity [N_tgt, R, N_ref] via one bf16 matmul
+    sim = jax.lax.dot_general(
+        ft.astype(jnp.bfloat16),
+        fr.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, R, N]
+    sim = sim / temperature
+    # per-ref spatial prior (multiplied on the post-softmax weights, as the
+    # reference applies weights to the similarity before normalizing)
+    prior = jnp.where(
+        ref_is_recent[None, :, None], w_sigma1[:, None, :], w_sigma2[:, None, :]
+    )  # [N, R, N]
+    sim = jnp.where(ref_valid[None, :, None], sim, -jnp.inf)
+    att = jax.nn.softmax(sim.reshape(N, R * N), axis=-1).reshape(N, R, N)
+    att = att * prior
+    att = att / jnp.maximum(att.sum(axis=(1, 2), keepdims=True), 1e-8)
+    out = jnp.einsum(
+        "nrm,rml->nl", att, labels_ref.reshape(R, N, L)
+    )
+    return out.reshape(h, w, L)
+
+
+class VOSState(NamedTuple):
+    """Ring-buffer history of features + soft labels."""
+
+    feats: jnp.ndarray  # [cap, h, w, C]
+    labels: jnp.ndarray  # [cap, h, w, L]
+    frame_ids: jnp.ndarray  # [cap] int32, -1 empty
+    count: jnp.ndarray  # scalar int32
+
+
+def init_vos_state(cap: int, h: int, w: int, C: int, L: int) -> VOSState:
+    return VOSState(
+        feats=jnp.zeros((cap, h, w, C), jnp.float32),
+        labels=jnp.zeros((cap, h, w, L), jnp.float32),
+        frame_ids=jnp.full((cap,), -1, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def vos_push(state: VOSState, feat, label, frame_id) -> VOSState:
+    slot = state.count % state.feats.shape[0]
+    return VOSState(
+        feats=state.feats.at[slot].set(feat),
+        labels=state.labels.at[slot].set(label),
+        frame_ids=state.frame_ids.at[slot].set(frame_id),
+        count=state.count + 1,
+    )
+
+
+def select_references(state: VOSState, ref_num: int, dense_num: int, range_: int):
+    """Pick dense recent + sparse older refs (reference lib/predict.py:63-78).
+
+    Returns (slots [ref_num], valid [ref_num], is_recent [ref_num]).
+    """
+    cap = state.frame_ids.shape[0]
+    cur = state.count  # next frame id == count
+    ids = state.frame_ids
+    used = ids >= 0
+    age = cur - ids  # 1 = previous frame
+    # dense: ages 1..dense_num ; sparse: evenly spaced over (dense_num, range_]
+    n_sparse = ref_num - dense_num
+    sparse_ages = jnp.linspace(dense_num + 1, range_, n_sparse).astype(jnp.int32)
+    want_ages = jnp.concatenate(
+        [jnp.arange(1, dense_num + 1, dtype=jnp.int32), sparse_ages]
+    )
+    # for each wanted age find the closest available slot
+    diff = jnp.abs(age[None, :] - want_ages[:, None])  # [ref_num, cap]
+    diff = jnp.where(used[None, :], diff, 1 << 20)
+    slots = jnp.argmin(diff, axis=-1).astype(jnp.int32)
+    valid = jnp.take_along_axis(used, slots, axis=0)
+    is_recent = want_ages <= dense_num
+    return slots, valid, is_recent
+
+
+class VOSPropagator:
+    """Host-facing online mask propagator (reference run_video.py flow)."""
+
+    def __init__(self, params, model: VOSNet, cfg, H: int, W: int, num_labels: int = 2,
+                 history_cap: int = 48):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.h, self.w = H // cfg.downscale, W // cfg.downscale
+        self.num_labels = num_labels
+        self.w1 = spatial_weight(self.h, self.w, cfg.sigma1)
+        self.w2 = spatial_weight(self.h, self.w, cfg.sigma2)
+        self.state = init_vos_state(history_cap, self.h, self.w, model.out_dim, num_labels)
+        self._extract = jax.jit(
+            lambda p, img: self.model.apply({"params": p}, img[None])[0]
+        )
+        self._propagate = jax.jit(self._propagate_impl)
+
+    def _resize_feat(self, feat):
+        return jax.image.resize(feat, (self.h, self.w, feat.shape[-1]), "bilinear")
+
+    def _propagate_impl(self, state, feat):
+        slots, valid, is_recent = select_references(
+            state, self.cfg.ref_num, dense_num=4, range_=self.cfg.range_
+        )
+        soft = propagate_labels(
+            state.feats[slots], state.labels[slots], valid, is_recent,
+            feat, self.w1, self.w2, self.cfg.temperature,
+        )
+        return soft
+
+    def first_frame(self, rgb: np.ndarray, mask: np.ndarray):
+        feat = self._resize_feat(self._extract(self.params, jnp.asarray(rgb)))
+        lab = jax.image.resize(
+            jax.nn.one_hot(jnp.asarray(mask).astype(jnp.int32), self.num_labels),
+            (self.h, self.w, self.num_labels),
+            "nearest",
+        )
+        self.state = vos_push(self.state, feat, lab, 0)
+
+    def propagate(self, rgb: np.ndarray) -> np.ndarray:
+        feat = self._resize_feat(self._extract(self.params, jnp.asarray(rgb)))
+        soft = self._propagate(self.state, feat)
+        self.state = vos_push(self.state, feat, soft, int(self.state.count))
+        H = self.h * self.cfg.downscale
+        W = self.w * self.cfg.downscale
+        up = jax.image.resize(soft, (H, W, self.num_labels), "bilinear")
+        return np.asarray(jnp.argmax(up, axis=-1) > 0)
