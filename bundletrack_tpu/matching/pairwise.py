@@ -79,8 +79,17 @@ def geometric_gate(
     wb = transform_points(pose_b, pts_b)
     na = transform_normals(pose_a, normals_a)
     nb = transform_normals(pose_b, normals_b)
-    d2 = jnp.sum((wa[..., :, None, :] - wb[..., None, :, :]) ** 2, axis=-1)
-    cos = jnp.einsum("...ik,...jk->...ij", na, nb)
+    # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b : two MXU matmuls instead of the
+    # [.., Na, Nb, 3] broadcast-difference (which is pure HBM traffic).
+    # f32 'highest' precision: the gate threshold (0.02 m)^2 = 4e-4 sits far
+    # below bf16 resolution of the ~1 m^2 norm terms.
+    dot = jnp.einsum("...ik,...jk->...ij", wa, wb, precision="highest")
+    d2 = (
+        jnp.sum(wa * wa, axis=-1)[..., :, None]
+        + jnp.sum(wb * wb, axis=-1)[..., None, :]
+        - 2.0 * dot
+    )
+    cos = jnp.einsum("...ik,...jk->...ij", na, nb, precision="highest")
     cos_thresh = jnp.cos(jnp.deg2rad(max_normal_deg))
     return (d2 < jnp.asarray(max_dist) ** 2) & (cos > cos_thresh)
 
