@@ -91,6 +91,7 @@ class FeatureCorresConfig:
     max_dist_neighbor: float = 0.03
     max_normal_neighbor: float = 45.0
     map_points: bool = True  # propagate matches through the landmark table
+    backend: str = "xla"  # "xla" | "pallas" | "pallas_interpret" (BA all-pairs path)
 
 
 @_frozen

@@ -152,6 +152,18 @@ def match_pair(
     return _select_top_matches(mut, dist, valid_a, valid_b, max_matches)
 
 
+def _select_top_rows(best_b, dist, mutual, max_matches: int) -> MatchResult:
+    """Convert per-row winners (Pallas kernel output) into M padded slots."""
+    score = jnp.where(mutual, -dist, -jnp.inf)
+    topv, topi = jax.lax.top_k(score, max_matches)
+    valid = jnp.isfinite(topv)
+    idx_a = jnp.where(valid, topi, 0).astype(jnp.int32)
+    idx_b = jnp.where(valid, jnp.take_along_axis(best_b, topi, axis=-1), 0).astype(
+        jnp.int32
+    )
+    return MatchResult(idx_a=idx_a, idx_b=idx_b, valid=valid)
+
+
 def match_pairs_batched(
     desc,  # [K, N, D] descriptor table (keyframe pool or BA subset)
     pts,  # [K, N, 3]
@@ -164,14 +176,37 @@ def match_pairs_batched(
     max_dist,
     max_normal_deg,
     max_matches: int,
+    backend: str = "xla",
 ) -> MatchResult:
     """All-pairs matching over a frame table — the BA edge builder.
 
     Replaces the reference's per-pair loop in Bundler::optimizeGPU
     (src/Bundler.cpp:298-324) with one batched program: gather both sides of
     every (i, j) pair and vmap the single-pair pipeline.
+
+    backend="pallas" routes through the fused VMEM-resident kernel
+    (pallas_kernels/matching.py) — same contract, no [P, N, N] HBM traffic.
     """
     gather = lambda arr, idx: jnp.take(arr, idx, axis=0)
+    if backend in ("pallas", "pallas_interpret"):
+        from bundletrack_tpu.pallas_kernels import fused_mutual_match
+
+        world = transform_points(poses, pts)  # [K, N, 3]
+        wnrm = transform_normals(poses, normals)
+        best_b, dist, mutual = fused_mutual_match(
+            gather(desc, pair_i), gather(desc, pair_j),
+            gather(world, pair_i), gather(world, pair_j),
+            gather(wnrm, pair_i), gather(wnrm, pair_j),
+            gather(kp_valid, pair_i), gather(kp_valid, pair_j),
+            max_dist=max_dist,
+            max_normal_deg=max_normal_deg,
+            interpret=(backend == "pallas_interpret"),
+        )
+        res = _select_top_rows(best_b, dist, mutual, max_matches)
+        return MatchResult(
+            idx_a=res.idx_a, idx_b=res.idx_b,
+            valid=res.valid & pair_valid[:, None],
+        )
     res = jax.vmap(
         match_pair,
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None),

@@ -193,6 +193,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                 max_dist=fc.max_dist_no_neighbor,
                 max_normal_deg=fc.max_normal_no_neighbor,
                 max_matches=M,
+                backend=fc.backend,
             )
             mpa, mpb, mna, mnb = _gather_match_points(
                 ba_pts, ba_nrm, PAIR_I, PAIR_J, bm
