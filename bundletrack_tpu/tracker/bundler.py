@@ -258,10 +258,34 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                 status == STATUS_OK,
                 cfg.keyframe.min_feat_num, cfg.keyframe.min_rot,
             )
+            new_slot = eviction_slot(st.kf_frame_id, st.kf_pose)
             st_admit = _admit_keyframe(
                 st, feats, pose_final, pts_low, nrm_low, val_low,
-                frame_id=st.frame_count,
+                frame_id=st.frame_count, slot=new_slot,
             )
+            if cfg.feature_corres.map_points:
+                # absorb the new keyframe's verified BA edges into the
+                # landmark track table (reference updateFramePairMapPoints is
+                # called per matched pair, FeatureManager.cpp:448-485; here
+                # only pairs touching the new frame add tracks — every
+                # keyframe passes through "new" once, so tracks still span
+                # the whole pool over time)
+                from bundletrack_tpu.matching.mappoints import update_mappoints
+                from bundletrack_tpu.matching.pairwise import MatchResult as _MR
+
+                mp = st_admit.mappoints
+                for p_idx in range(len(pair_i_np)):
+                    if pair_j_np[p_idx] != K_BA - 1:
+                        continue
+                    pool_pos = pair_i_np[p_idx]  # BA position of the pool frame
+                    pool_slot = slots[pool_pos]
+                    m = _MR(
+                        idx_a=bm.idx_a[p_idx],
+                        idx_b=bm.idx_b[p_idx],
+                        valid=edge_valid[p_idx] & sel_valid[pool_pos],
+                    )
+                    mp = update_mappoints(mp, pool_slot, new_slot, m)
+                st_admit = st_admit._replace(mappoints=mp)
             st = jax.tree.map(
                 lambda a, b: jnp.where(admit, a, b), st_admit, st
             )
@@ -291,9 +315,10 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
 
 def _admit_keyframe(
     state: TrackerState, feats: FrameFeatures, pose, pts_low, nrm_low, val_low,
-    frame_id,
+    frame_id, slot=None,
 ):
-    slot = eviction_slot(state.kf_frame_id, state.kf_pose)
+    if slot is None:
+        slot = eviction_slot(state.kf_frame_id, state.kf_pose)
     mp = forget_frame_mappoints(state.mappoints, slot)
     return state._replace(
         kf_desc=state.kf_desc.at[slot].set(feats.desc),
