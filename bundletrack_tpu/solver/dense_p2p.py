@@ -36,16 +36,21 @@ _mm = functools.partial(jnp.matmul, precision="highest")
 
 class DenseFrames(NamedTuple):
     """Low-res per-frame geometry cache (reference CUDACachedFrame,
-    src/cuda/CUDACacheUtil.h:10-53).
+    src/cuda/CUDACacheUtil.h:10-53 — positions, normals, depth, intensity and
+    intensity derivatives per cached frame).
 
     points:  [K, H, W, 3] camera-space
     normals: [K, H, W, 3]
     valid:   [K, H, W] bool
+    intensity / grad_x / grad_y: optional [K, H, W] for the photometric term
     """
 
     points: jnp.ndarray
     normals: jnp.ndarray
     valid: jnp.ndarray
+    intensity: jnp.ndarray | None = None
+    grad_x: jnp.ndarray | None = None
+    grad_y: jnp.ndarray | None = None
 
 
 def dense_p2p_normal_equations(
@@ -61,6 +66,8 @@ def dense_p2p_normal_equations(
     robust_delta: float = 0.005,
     min_pair_pixels: int = 800,
     weight: float = 1.0,
+    weight_color: float = 0.0,
+    robust_delta_color: float = 0.1,
 ):
     """Dense point-to-plane H/g over all pairs, both directions (the
     reference enumerates ordered image pairs in FindImageImageCorr_Kernel,
@@ -162,6 +169,69 @@ def dense_p2p_normal_equations(
     H, g = scatter_blocks(Kf, src, tgt, Hss, Htt, Hst, gs, gt)
     rho0, _ = huber(r * r, robust_delta)
     cost = jnp.sum(rho0 * ok * pair_w[:, None]) * weight
+    H = H * weight
+    g = g * weight
+
+    # ---- photometric (dense color) term --------------------------------
+    # Reference compiles this path with weightsDenseColor = 0 by default
+    # (SBA.cpp:28-32; BuildDenseSystem_Kernel photometric rows,
+    # SolverBundling.cu:199-227).  Residual r_c = I_tgt(pi(p')) - I_src(p);
+    # the Jacobian chains the image gradient through the projection
+    # derivative (reference ICPUtil.h dCameraToScreen) and the Lie
+    # derivative: J_src = [a | q_src x a] with a = R_tgt (J_pi^T grad),
+    # J_tgt = -J_src (photometric constrains only the relative pose).
+    if weight_color > 0.0 and frames.intensity is not None:
+        int_f = frames.intensity.reshape(Kf, N)
+        gx_f = frames.grad_x.reshape(Kf, N)
+        gy_f = frames.grad_y.reshape(Kf, N)
+        i_src = int_f[src]
+
+        # bilinear sampling at the continuous (u, v) — nearest-pixel lookup
+        # quantizes away sub-pixel photometric residuals (the reference
+        # interpolates intensity bilinearly, ICPUtil.h:26-110)
+        u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, Ww - 2)
+        v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, Hh - 2)
+        du = jnp.clip(u - u0, 0.0, 1.0)
+        dv = jnp.clip(v - v0, 0.0, 1.0)
+
+        def bil(f_tbl):
+            t = f_tbl[tgt]
+            g00 = jnp.take_along_axis(t, v0 * Ww + u0, axis=1)
+            g01 = jnp.take_along_axis(t, v0 * Ww + u0 + 1, axis=1)
+            g10 = jnp.take_along_axis(t, (v0 + 1) * Ww + u0, axis=1)
+            g11 = jnp.take_along_axis(t, (v0 + 1) * Ww + u0 + 1, axis=1)
+            return (
+                g00 * (1 - du) * (1 - dv)
+                + g01 * du * (1 - dv)
+                + g10 * (1 - du) * dv
+                + g11 * du * dv
+            )
+
+        i_tgt = bil(int_f)
+        gx = bil(gx_f)
+        gy = bil(gy_f)
+        r_c = i_tgt - i_src  # [D, N]
+        x, y = p_in_t[..., 0], p_in_t[..., 1]
+        a_cam = jnp.stack(
+            [
+                fx / safe_z * gx,
+                fy / safe_z * gy,
+                -(fx * x * gx + fy * y * gy) / (safe_z * safe_z),
+            ],
+            axis=-1,
+        )  # [D, N, 3] in cam_tgt
+        a_model = rotate_points(Rt, a_cam)
+        Jc = jnp.concatenate([a_model, jnp.cross(q_src, a_model)], axis=-1)
+        _, rho1c = huber(r_c * r_c, robust_delta_color)
+        wc = rho1c * ok.astype(r.dtype) * pair_w[:, None] * weight_color
+        Hcc = _einsum("dna,dn,dnb->dab", Jc, wc, Jc)
+        gc = _einsum("dna,dn,dn->da", Jc, wc, r_c)
+        # J_tgt = -J_src: Hss += Hcc, Htt += Hcc, Hst += -Hcc, gs += gc, gt -= gc
+        Hc, gcv = scatter_blocks(Kf, src, tgt, Hcc, Hcc, -Hcc, gc, -gc)
+        H = H + Hc
+        g = g + gcv
+        rho0c, _ = huber(r_c * r_c, robust_delta_color)
+        cost = cost + jnp.sum(rho0c * ok * pair_w[:, None]) * weight_color
 
     P = pair_i.shape[0]
-    return H * weight, g * weight, cost, n_corr[:P] + n_corr[P:]
+    return H, g, cost, n_corr[:P] + n_corr[P:]

@@ -86,7 +86,7 @@ def build_normal_equations(inputs: GraphInputs, cfg):
         robust_delta=cfg.robust_delta,
         weight=cfg.w_sparse,
     )
-    if inputs.dense is not None and cfg.w_dense_depth > 0.0:
+    if inputs.dense is not None and (cfg.w_dense_depth > 0.0 or cfg.w_dense_color > 0.0):
         Hd, gd, cd, _ = dense_p2p_normal_equations(
             inputs.poses,
             inputs.dense,
@@ -96,6 +96,7 @@ def build_normal_equations(inputs: GraphInputs, cfg):
             inputs.K_lowres,
             robust_delta=cfg.robust_delta,
             weight=cfg.w_dense_depth,
+            weight_color=cfg.w_dense_color,
         )
         H = H + Hd
         g = g + gd
