@@ -152,6 +152,40 @@ def match_pair(
     return _select_top_matches(mut, dist, valid_a, valid_b, max_matches)
 
 
+def merge_matches(
+    fresh: MatchResult, extra: MatchResult, num_kpts: int, max_matches: int
+) -> MatchResult:
+    """Union of two match sets with per-keypoint dedup (fresh wins).
+
+    Used to merge descriptor matches with landmark-propagated matches
+    (reference findCorres seeds non-neighbor pairs from MapPoints before
+    descriptor matching, FeatureManager.cpp:489-520 + 173-242).  Each
+    keypoint of frame A keeps at most one partner; fresh matches take
+    priority.  Broadcasts over leading batch axes via vmap.
+    """
+
+    def one(fr: MatchResult, ex: MatchResult) -> MatchResult:
+        row = jnp.full((num_kpts,), -1, jnp.int32)
+        # extras first, fresh overwrites (priority)
+        row = row.at[jnp.where(ex.valid, ex.idx_a, num_kpts)].set(
+            ex.idx_b, mode="drop"
+        )
+        row = row.at[jnp.where(fr.valid, fr.idx_a, num_kpts)].set(
+            fr.idx_b, mode="drop"
+        )
+        has = row >= 0
+        score = jnp.where(has, 1.0, -jnp.inf)
+        topv, topi = jax.lax.top_k(score, max_matches)
+        valid = jnp.isfinite(topv)
+        idx_a = jnp.where(valid, topi, 0).astype(jnp.int32)
+        idx_b = jnp.where(valid, row[topi], 0).astype(jnp.int32)
+        return MatchResult(idx_a=idx_a, idx_b=idx_b, valid=valid)
+
+    if fresh.idx_a.ndim == 1:
+        return one(fresh, extra)
+    return jax.vmap(one)(fresh, extra)
+
+
 def _select_top_rows(best_b, dist, mutual, max_matches: int) -> MatchResult:
     """Convert per-row winners (Pallas kernel output) into M padded slots."""
     score = jnp.where(mutual, -dist, -jnp.inf)

@@ -195,6 +195,28 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                 max_matches=M,
                 backend=fc.backend,
             )
+            if cfg.feature_corres.map_points:
+                # seed BA pairs with landmark-propagated matches (reference
+                # findCorresByMapPoints, FeatureManager.cpp:489-520); RANSAC
+                # filters the union just like fresh matches
+                from bundletrack_tpu.matching.mappoints import propagate_matches
+                from bundletrack_tpu.matching.pairwise import merge_matches
+
+                pool_slot_of = jnp.concatenate(
+                    [slots, jnp.full((1,), -1, jnp.int32)]
+                )  # BA position -> pool slot (-1 for the new frame)
+                si = pool_slot_of[PAIR_I]
+                sj = pool_slot_of[PAIR_J]
+                prop_ok = (si >= 0) & (sj >= 0) & pair_valid
+                prop = jax.vmap(
+                    lambda a, b: propagate_matches(
+                        state.mappoints, jnp.maximum(a, 0), jnp.maximum(b, 0), M
+                    )
+                )(si, sj)
+                prop = prop._replace(valid=prop.valid & prop_ok[:, None])
+                bm = merge_matches(bm, prop, ba_desc.shape[1], M)
+                bm = bm._replace(valid=bm.valid & pair_valid[:, None])
+
             mpa, mpb, mna, mnb = _gather_match_points(
                 ba_pts, ba_nrm, PAIR_I, PAIR_J, bm
             )
