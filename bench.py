@@ -81,6 +81,68 @@ def main():
         )
     )
 
+    if os.environ.get("BENCH_FULL"):
+        _secondary_benches(cfg, seq)
+
+
+def _secondary_benches(cfg, seq):
+    """Extra numbers on stderr: fleet throughput, solver rate, LF-Net latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from bundletrack_tpu.parallel import init_fleet_state, make_fleet_step
+    from bundletrack_tpu.tracker.state import FrameObservation
+
+    H, W = seq.gray.shape[1:]
+    S = 4
+    step = make_fleet_step(cfg, H, W)
+    state = init_fleet_state(cfg, H, W, S)
+    tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (S,) + a.shape)
+    init_pose = tile(np.linalg.inv(seq.ob_in_cam[0]))
+    n_frames = seq.gray.shape[0]
+    for f in range(2):
+        obs = FrameObservation(
+            gray=tile(seq.gray[f]), depth=tile(seq.depth[f]),
+            mask=tile(seq.mask[f]), K=tile(seq.K),
+        )
+        state, out = step(state, obs, init_pose)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    timed = 0
+    for f in range(2, n_frames):
+        obs = FrameObservation(
+            gray=tile(seq.gray[f]), depth=tile(seq.depth[f]),
+            mask=tile(seq.mask[f]), K=tile(seq.K),
+        )
+        state, out = step(state, obs, init_pose)
+        timed += 1
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(
+        f"[bench] fleet S={S}: {S * timed / dt:.2f} aggregate fps "
+        f"({timed / dt:.2f} steps/s)",
+        file=sys.stderr,
+    )
+
+    # LF-Net forward latency (reference test_lfnet_speed.py protocol: mean
+    # forward time at serving size)
+    from bundletrack_tpu.config import FrontendConfig
+    from bundletrack_tpu.frontend.lfnet import init_lfnet
+
+    fcfg = FrontendConfig(kind="lfnet")
+    model, params = init_lfnet(fcfg)
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    x = jnp.zeros((1, fcfg.input_size, fcfg.input_size, 1), jnp.float32)
+    jax.block_until_ready(fwd(params, x))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    print(
+        f"[bench] lfnet 400x400 forward: {(time.perf_counter() - t0) / 20 * 1000:.2f} ms",
+        file=sys.stderr,
+    )
+
 
 if __name__ == "__main__":
     main()
