@@ -137,4 +137,23 @@ def optimize_pose_graph(inputs: GraphInputs, cfg, p2p_cfg=None):
     poses, cost = jax.lax.fori_loop(
         0, cfg.num_iter_outer, outer, (inputs.poses, jnp.asarray(0.0, jnp.float32))
     )
-    return poses, {"final_cost": cost}
+    info = {"final_cost": cost}
+    info.update(verify_solution(poses, inputs, cfg))
+    return poses, info
+
+
+def verify_solution(poses, inputs: GraphInputs, cfg):
+    """Post-solve residual analysis (reference CUDASolverBundling
+    computeMaxResidual:303-375 and useVerification high-residual percentage
+    check:396-417).  Returns max sparse residual and the fraction of
+    correspondences above the Huber threshold; callers can reject the solve
+    (revert poses / flag FAIL) when the fraction is too high."""
+    from bundletrack_tpu.solver.residuals import sparse_residuals
+
+    r, _, _ = sparse_residuals(poses, inputs.corres)
+    e = jnp.linalg.norm(r, axis=-1)
+    valid = inputs.corres.valid
+    n = jnp.maximum(jnp.sum(valid), 1)
+    max_res = jnp.max(jnp.where(valid, e, 0.0))
+    high = jnp.sum((e > cfg.robust_delta) & valid) / n
+    return {"max_residual": max_res, "high_residual_frac": high}
