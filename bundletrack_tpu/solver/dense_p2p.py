@@ -1,21 +1,24 @@
-"""Dense point-to-plane term with projective association, batched over pairs.
+"""Dense point-to-plane (+ photometric) term with projective association.
 
 TPU-native rewrite of the reference's dense depth term
 (reference: src/cuda/Solver/SolverBundling.cu — FindDenseCorrespondences_Kernel
 :60-113 projective association with depth/normal gates,
 WeightDenseCorrespondences_Kernel:115-127 pair weights 1/min(log n, 9) with an
 800-px floor, BuildDenseSystem_Kernel:129-229 point-to-plane residual
-dot(camPosTgt - camPosSrcToTgt, normalTgt) with Huber; association helpers in
-SolverBundlingDenseUtil.h findDenseCorr:14-215, block scatter
-addToLocalSystem:217-285; low-res frame cache CUDACache.cpp:76-88).
+dot(camPosTgt - camPosSrcToTgt, normalTgt) with Huber and the photometric
+residual path :199-227; association helpers SolverBundlingDenseUtil.h
+findDenseCorr:14-215, block scatter addToLocalSystem:217-285; low-res frame
+cache CUDACache.cpp:76-88).
 
-Performance design: the whole term is ONE batched program over 2P directed
-pairs x N=Hd*Wd pixels.  The projective association uses *linearized* pixel
-indices with take_along_axis on flattened [2P, N, C] tables — XLA lowers this
-batched single-axis gather efficiently, whereas vmapped 2D advanced indexing
-(and per-pair lax.map) compiled to pathological gathers on TPU (30x+ slower
-or minutes-long compiles).  The [N, 6] Jacobian rows contract to 6x6 blocks
-with batched matmuls on the MXU.
+Performance design — structure-of-arrays scalar-component math:
+every hot array is a plain [D, N] f32/pred plane (D = 2P directed pairs,
+N = H*W pixels), tiled (8, 128) with zero padding waste.  Profiling showed
+that arrays with a trailing 3-vector dimension ([D, N, 3]) push XLA into
+transposed {0,1} layouts for the batched gathers, costing ~220 ms/iteration
+in layout-conversion copies alone; per-channel take_along_axis on [D, N]
+planes plus broadcast multiply-adds runs the same math at HBM speed.  The
+6x6 normal-equation blocks are built as 90 masked reductions over shared
+inputs (XLA multi-output fusion), then scatter-added into [K, K, 6, 6].
 """
 
 from __future__ import annotations
@@ -27,10 +30,9 @@ import jax
 import jax.numpy as jnp
 
 from bundletrack_tpu.geometry.robust import huber
-from bundletrack_tpu.geometry.se3 import rotate_points, se3_inverse
+from bundletrack_tpu.geometry.se3 import se3_inverse
 from bundletrack_tpu.solver.residuals import scatter_blocks
 
-_einsum = functools.partial(jnp.einsum, precision="highest")
 _mm = functools.partial(jnp.matmul, precision="highest")
 
 
@@ -51,6 +53,18 @@ class DenseFrames(NamedTuple):
     intensity: jnp.ndarray | None = None
     grad_x: jnp.ndarray | None = None
     grad_y: jnp.ndarray | None = None
+
+
+def _rot_apply(R, x, y, z, col):
+    """Row `col` of batched rotation applied to component planes.
+
+    R: [D, 3, 3]; x/y/z: [D, N].  Returns [D, N].
+    """
+    return (
+        R[:, col, 0][:, None] * x
+        + R[:, col, 1][:, None] * y
+        + R[:, col, 2][:, None] * z
+    )
 
 
 def dense_p2p_normal_equations(
@@ -82,64 +96,67 @@ def dense_p2p_normal_equations(
     # directed pairs: forward (src=i, tgt=j) + reverse
     src = jnp.concatenate([pair_i, pair_j])  # [D]
     tgt = jnp.concatenate([pair_j, pair_i])
-    D = src.shape[0]
     pair_ok = frame_valid[src] & frame_valid[tgt]  # [D]
 
-    # flattened per-frame tables
-    pts_f = frames.points.reshape(Kf, N, 3)
-    nrm_f = frames.normals.reshape(Kf, N, 3)
-    val_f = frames.valid.reshape(Kf, N)
+    # component planes [K, N]
+    pf = frames.points.reshape(Kf, N, 3)
+    nf = frames.normals.reshape(Kf, N, 3)
+    px_t, py_t, pz_t = pf[..., 0], pf[..., 1], pf[..., 2]
+    nx_t, ny_t, nz_t = nf[..., 0], nf[..., 1], nf[..., 2]
+    val_t = frames.valid.reshape(Kf, N)
 
     T_src = poses[src]  # [D, 4, 4]
     T_tgt = poses[tgt]
     T_rel = _mm(se3_inverse(T_tgt), T_src)  # cam_src -> cam_tgt
+    Rr = T_rel[:, :3, :3]
+    tr = T_rel[:, :3, 3]
 
-    p_src = pts_f[src]  # [D, N, 3] cam_src
-    n_src = nrm_f[src]
-    ok_src = val_f[src] & pair_ok[:, None]
+    sx, sy, sz = px_t[src], py_t[src], pz_t[src]  # [D, N] src cam points
+    snx, sny, snz = nx_t[src], ny_t[src], nz_t[src]
+    ok_src = val_t[src] & pair_ok[:, None]
 
     # transform into target camera + project
-    R_rel = T_rel[:, :3, :3]
-    t_rel = T_rel[:, :3, 3]
-    p_in_t = rotate_points(R_rel, p_src) + t_rel[:, None, :]
+    ax = _rot_apply(Rr, sx, sy, sz, 0) + tr[:, 0][:, None]
+    ay = _rot_apply(Rr, sx, sy, sz, 1) + tr[:, 1][:, None]
+    az = _rot_apply(Rr, sx, sy, sz, 2) + tr[:, 2][:, None]
     fx, fy = K_lowres[0, 0], K_lowres[1, 1]
     cx, cy = K_lowres[0, 2], K_lowres[1, 2]
-    z = p_in_t[..., 2]
-    safe_z = jnp.where(z > 1e-6, z, 1.0)
-    u = p_in_t[..., 0] / safe_z * fx + cx
-    v = p_in_t[..., 1] / safe_z * fy + cy
+    safe_z = jnp.where(az > 1e-6, az, 1.0)
+    u = ax / safe_z * fx + cx
+    v = ay / safe_z * fy + cy
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
-    inb = (ui >= 0) & (ui < Ww) & (vi >= 0) & (vi < Hh) & (z > 1e-6)
+    inb = (ui >= 0) & (ui < Ww) & (vi >= 0) & (vi < Hh) & (az > 1e-6)
     lin = jnp.clip(vi, 0, Hh - 1) * Ww + jnp.clip(ui, 0, Ww - 1)  # [D, N]
 
-    # batched single-axis gather from the target frame's tables
-    tgt_pts = pts_f[tgt]  # [D, N, 3]
-    tgt_nrm = nrm_f[tgt]
-    tgt_val = val_f[tgt]
-    p_tgt = jnp.take_along_axis(tgt_pts, lin[..., None], axis=1)  # [D, N, 3]
-    n_tgt = jnp.take_along_axis(tgt_nrm, lin[..., None], axis=1)
-    v_tgt = jnp.take_along_axis(tgt_val, lin, axis=1)
+    # per-channel batched 2D gathers from the target frame's planes
+    g2 = lambda plane: jnp.take_along_axis(plane[tgt], lin, axis=1)
+    tx, ty, tz = g2(px_t), g2(py_t), g2(pz_t)
+    tnx, tny, tnz = g2(nx_t), g2(ny_t), g2(nz_t)
+    v_tgt = g2(val_t)
 
     # gates (reference findDenseCorr depth/normal gates)
-    d2 = jnp.sum((p_tgt - p_in_t) ** 2, axis=-1)
-    n_src_in_t = rotate_points(R_rel, n_src)
-    cos_sn = jnp.sum(n_src_in_t * n_tgt, axis=-1)
-    ok = (
-        inb
-        & v_tgt
-        & ok_src
-        & (d2 < max_dist * max_dist)
-        & (cos_sn > cos_max)
-    )
+    d2 = (tx - ax) ** 2 + (ty - ay) ** 2 + (tz - az) ** 2
+    rnx = _rot_apply(Rr, snx, sny, snz, 0)
+    rny = _rot_apply(Rr, snx, sny, snz, 1)
+    rnz = _rot_apply(Rr, snx, sny, snz, 2)
+    cos_sn = rnx * tnx + rny * tny + rnz * tnz
+    ok = inb & v_tgt & ok_src & (d2 < max_dist * max_dist) & (cos_sn > cos_max)
 
-    # model-frame quantities for residual/Jacobian
+    # model-frame quantities
     Rs, ts = T_src[:, :3, :3], T_src[:, :3, 3]
     Rt, tt = T_tgt[:, :3, :3], T_tgt[:, :3, 3]
-    q_src = rotate_points(Rs, p_src) + ts[:, None, :]
-    q_tgt = rotate_points(Rt, p_tgt) + tt[:, None, :]
-    n_model = rotate_points(Rt, n_tgt)
-    r = jnp.sum((q_tgt - q_src) * n_model, axis=-1)  # [D, N]
+    qsx = _rot_apply(Rs, sx, sy, sz, 0) + ts[:, 0][:, None]
+    qsy = _rot_apply(Rs, sx, sy, sz, 1) + ts[:, 1][:, None]
+    qsz = _rot_apply(Rs, sx, sy, sz, 2) + ts[:, 2][:, None]
+    qtx = _rot_apply(Rt, tx, ty, tz, 0) + tt[:, 0][:, None]
+    qty = _rot_apply(Rt, tx, ty, tz, 1) + tt[:, 1][:, None]
+    qtz = _rot_apply(Rt, tx, ty, tz, 2) + tt[:, 2][:, None]
+    nmx = _rot_apply(Rt, tnx, tny, tnz, 0)
+    nmy = _rot_apply(Rt, tnx, tny, tnz, 1)
+    nmz = _rot_apply(Rt, tnx, tny, tnz, 2)
+    dqx, dqy, dqz = qtx - qsx, qty - qsy, qtz - qsz
+    r = dqx * nmx + dqy * nmy + dqz * nmz  # [D, N]
 
     _, rho1 = huber(r * r, robust_delta)
     n_corr = jnp.sum(ok, axis=-1)  # [D]
@@ -150,21 +167,37 @@ def dense_p2p_normal_equations(
     )
     w = rho1 * ok.astype(r.dtype) * pair_w[:, None]  # [D, N]
 
-    # Jacobian rows [D, N, 6]:
-    #   dr/ddelta_src = [-n | -(q_src x n)]
-    #   dr/ddelta_tgt = [ n |  (q_tgt x n) + (n x (q_tgt - q_src))]
-    n = n_model
-    Ji = jnp.concatenate([-n, -jnp.cross(q_src, n)], axis=-1)
-    dq = q_tgt - q_src
-    Jj = jnp.concatenate(
-        [n, jnp.cross(q_tgt, n) + jnp.cross(n, dq)], axis=-1
+    # Jacobian component planes (6 each):
+    #   J_src = [-n | -(q_src x n)],  J_tgt = [n | (q_tgt x n) + (n x dq)]
+    cross = lambda axx, ayy, azz, bx, by, bz: (
+        ayy * bz - azz * by,
+        azz * bx - axx * bz,
+        axx * by - ayy * bx,
     )
+    c1x, c1y, c1z = cross(qsx, qsy, qsz, nmx, nmy, nmz)
+    Ji = (-nmx, -nmy, -nmz, -c1x, -c1y, -c1z)
+    c2x, c2y, c2z = cross(qtx, qty, qtz, nmx, nmy, nmz)
+    c3x, c3y, c3z = cross(nmx, nmy, nmz, dqx, dqy, dqz)
+    Jj = (nmx, nmy, nmz, c2x + c3x, c2y + c3y, c2z + c3z)
 
-    Hss = _einsum("dna,dn,dnb->dab", Ji, w, Ji)
-    Htt = _einsum("dna,dn,dnb->dab", Jj, w, Jj)
-    Hst = _einsum("dna,dn,dnb->dab", Ji, w, Jj)
-    gs = _einsum("dna,dn,dn->da", Ji, w, r)
-    gt = _einsum("dna,dn,dn->da", Jj, w, r)
+    def blocks(Ja, Jb, w):
+        """[D, 6, 6] H-block and via closure the shared-w reductions."""
+        rows = []
+        for a in range(6):
+            cols = [jnp.sum(w * Ja[a] * Jb[b], axis=-1) for b in range(6)]
+            rows.append(jnp.stack(cols, axis=-1))
+        return jnp.stack(rows, axis=-2)  # [D, 6, 6]
+
+    def grad(Ja, w, r):
+        return jnp.stack(
+            [jnp.sum(w * Ja[a] * r, axis=-1) for a in range(6)], axis=-1
+        )  # [D, 6]
+
+    Hss = blocks(Ji, Ji, w)
+    Htt = blocks(Jj, Jj, w)
+    Hst = blocks(Ji, Jj, w)
+    gs = grad(Ji, w, r)
+    gt = grad(Jj, w, r)
 
     H, g = scatter_blocks(Kf, src, tgt, Hss, Htt, Hst, gs, gt)
     rho0, _ = huber(r * r, robust_delta)
@@ -174,59 +207,53 @@ def dense_p2p_normal_equations(
 
     # ---- photometric (dense color) term --------------------------------
     # Reference compiles this path with weightsDenseColor = 0 by default
-    # (SBA.cpp:28-32; BuildDenseSystem_Kernel photometric rows,
-    # SolverBundling.cu:199-227).  Residual r_c = I_tgt(pi(p')) - I_src(p);
-    # the Jacobian chains the image gradient through the projection
-    # derivative (reference ICPUtil.h dCameraToScreen) and the Lie
-    # derivative: J_src = [a | q_src x a] with a = R_tgt (J_pi^T grad),
-    # J_tgt = -J_src (photometric constrains only the relative pose).
+    # (SBA.cpp:28-32; photometric rows SolverBundling.cu:199-227).
+    # Residual r_c = I_tgt(pi(p')) - I_src(p), bilinearly sampled; the
+    # Jacobian chains the image gradient through the projection derivative
+    # (reference ICPUtil.h dCameraToScreen): J_src = [a | q_src x a] with
+    # a = R_tgt (J_pi^T grad),  J_tgt = -J_src.
     if weight_color > 0.0 and frames.intensity is not None:
-        int_f = frames.intensity.reshape(Kf, N)
-        gx_f = frames.grad_x.reshape(Kf, N)
-        gy_f = frames.grad_y.reshape(Kf, N)
-        i_src = int_f[src]
+        int_t = frames.intensity.reshape(Kf, N)
+        gx_t = frames.grad_x.reshape(Kf, N)
+        gy_t = frames.grad_y.reshape(Kf, N)
+        i_src = int_t[src]
 
-        # bilinear sampling at the continuous (u, v) — nearest-pixel lookup
-        # quantizes away sub-pixel photometric residuals (the reference
-        # interpolates intensity bilinearly, ICPUtil.h:26-110)
         u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, Ww - 2)
         v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, Hh - 2)
         du = jnp.clip(u - u0, 0.0, 1.0)
         dv = jnp.clip(v - v0, 0.0, 1.0)
+        l00 = v0 * Ww + u0
 
-        def bil(f_tbl):
-            t = f_tbl[tgt]
-            g00 = jnp.take_along_axis(t, v0 * Ww + u0, axis=1)
-            g01 = jnp.take_along_axis(t, v0 * Ww + u0 + 1, axis=1)
-            g10 = jnp.take_along_axis(t, (v0 + 1) * Ww + u0, axis=1)
-            g11 = jnp.take_along_axis(t, (v0 + 1) * Ww + u0 + 1, axis=1)
+        def bil(plane):
+            t = plane[tgt]
+            p00 = jnp.take_along_axis(t, l00, axis=1)
+            p01 = jnp.take_along_axis(t, l00 + 1, axis=1)
+            p10 = jnp.take_along_axis(t, l00 + Ww, axis=1)
+            p11 = jnp.take_along_axis(t, l00 + Ww + 1, axis=1)
             return (
-                g00 * (1 - du) * (1 - dv)
-                + g01 * du * (1 - dv)
-                + g10 * (1 - du) * dv
-                + g11 * du * dv
+                p00 * (1 - du) * (1 - dv)
+                + p01 * du * (1 - dv)
+                + p10 * (1 - du) * dv
+                + p11 * du * dv
             )
 
-        i_tgt = bil(int_f)
-        gx = bil(gx_f)
-        gy = bil(gy_f)
-        r_c = i_tgt - i_src  # [D, N]
-        x, y = p_in_t[..., 0], p_in_t[..., 1]
-        a_cam = jnp.stack(
-            [
-                fx / safe_z * gx,
-                fy / safe_z * gy,
-                -(fx * x * gx + fy * y * gy) / (safe_z * safe_z),
-            ],
-            axis=-1,
-        )  # [D, N, 3] in cam_tgt
-        a_model = rotate_points(Rt, a_cam)
-        Jc = jnp.concatenate([a_model, jnp.cross(q_src, a_model)], axis=-1)
+        i_tgt = bil(int_t)
+        gx = bil(gx_t)
+        gy = bil(gy_t)
+        r_c = i_tgt - i_src
+        acx = fx / safe_z * gx
+        acy = fy / safe_z * gy
+        acz = -(fx * ax * gx + fy * ay * gy) / (safe_z * safe_z)
+        amx = _rot_apply(Rt, acx, acy, acz, 0)
+        amy = _rot_apply(Rt, acx, acy, acz, 1)
+        amz = _rot_apply(Rt, acx, acy, acz, 2)
+        ccx, ccy, ccz = cross(qsx, qsy, qsz, amx, amy, amz)
+        Jc = (amx, amy, amz, ccx, ccy, ccz)
         _, rho1c = huber(r_c * r_c, robust_delta_color)
         wc = rho1c * ok.astype(r.dtype) * pair_w[:, None] * weight_color
-        Hcc = _einsum("dna,dn,dnb->dab", Jc, wc, Jc)
-        gc = _einsum("dna,dn,dn->da", Jc, wc, r_c)
-        # J_tgt = -J_src: Hss += Hcc, Htt += Hcc, Hst += -Hcc, gs += gc, gt -= gc
+        Hcc = blocks(Jc, Jc, wc)
+        gc = grad(Jc, wc, r_c)
+        # J_tgt = -J_src: Hss += Hcc, Htt += Hcc, Hst -= Hcc, gs += gc, gt -= gc
         Hc, gcv = scatter_blocks(Kf, src, tgt, Hcc, Hcc, -Hcc, gc, -gc)
         H = H + Hc
         g = g + gcv
