@@ -1,0 +1,111 @@
+"""VOS training step: cross-entropy over transductively propagated labels.
+
+The reference trains VOSNet with PyTorch DistributedDataParallel (NCCL) on
+DAVIS clips: features of earlier frames + their ground-truth labels predict
+the current frame's label by the same attention used at inference, and a
+CrossEntropy loss is taken against the ground truth (reference:
+transductive-vos.pytorch/main.py:57-135, lib/loss.py:31-57 — the only
+distributed-training code in the reference).
+
+TPU-native version: one jitted step over a [B, T, H, W, 3] clip batch; data
+parallelism is a sharding annotation over the batch axis (see
+parallel/fleet.py make_sharded_vos_train_step) instead of DDP — XLA inserts
+the gradient all-reduce over the mesh's ICI.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bundletrack_tpu.models.vos import VOSNet, propagate_labels, spatial_weight
+
+
+class VOSTrainBatch(NamedTuple):
+    """A batch of short clips with per-frame ground-truth labels.
+
+    clips:  [B, T, H, W, 3] in [0, 1] — frames 0..T-2 are references,
+            frame T-1 is the prediction target.
+    labels: [B, T, H, W] int32 class ids (0 = background).
+    """
+
+    clips: jnp.ndarray
+    labels: jnp.ndarray
+
+
+def _downsample_labels(labels, h, w, num_labels):
+    """[.., H, W] int -> [.., h, w, L] one-hot at feature resolution."""
+    onehot = jax.nn.one_hot(labels, num_labels)
+    out_shape = labels.shape[:-2] + (h, w, num_labels)
+    return jax.image.resize(onehot, out_shape, "nearest")
+
+
+def vos_loss(
+    params,
+    model: VOSNet,
+    batch: VOSTrainBatch,
+    w_sigma1: jnp.ndarray,
+    w_sigma2: jnp.ndarray,
+    num_labels: int = 2,
+    temperature: float = 1.0,
+    dense_num: int = 4,
+):
+    B, T, H, W, _ = batch.clips.shape
+    feats = model.apply({"params": params}, batch.clips.reshape(B * T, H, W, 3))
+    h, w = feats.shape[1], feats.shape[2]
+    C = feats.shape[-1]
+    feats = feats.reshape(B, T, h, w, C)
+    labels_lo = _downsample_labels(batch.labels, h, w, num_labels)  # [B,T,h,w,L]
+
+    R = T - 1
+    ref_valid = jnp.ones((R,), bool)
+    # the reference treats the most recent `dense_num` refs as "dense"
+    # (sigma1 prior) and older ones as sparse (sigma2)
+    age = R - jnp.arange(R)  # ref t has age R - t relative to the target
+    ref_is_recent = age <= dense_num
+
+    def one(feat_refs, label_refs, feat_tgt):
+        return propagate_labels(
+            feat_refs, label_refs, ref_valid, ref_is_recent, feat_tgt,
+            w_sigma1, w_sigma2, temperature,
+        )
+
+    pred = jax.vmap(one)(feats[:, :R], labels_lo[:, :R], feats[:, R])  # [B,h,w,L]
+    tgt = labels_lo[:, R]
+    logp = jnp.log(jnp.clip(pred, 1e-8, 1.0))
+    ce = -jnp.sum(tgt * logp, axis=-1)  # [B, h, w]
+    loss = jnp.mean(ce)
+    acc = jnp.mean(
+        (jnp.argmax(pred, -1) == jnp.argmax(tgt, -1)).astype(jnp.float32)
+    )
+    return loss, {"ce": loss, "acc": acc}
+
+
+def make_vos_train_step(
+    model: VOSNet,
+    tx: optax.GradientTransformation,
+    image_hw,
+    downscale: int = 8,
+    sigma1: float = 8.0,
+    sigma2: float = 21.0,
+    num_labels: int = 2,
+):
+    """Returns step(params, opt_state, batch) -> (params, opt_state, metrics)."""
+    H, W = image_hw
+    h, w = H // downscale, W // downscale
+    w1 = spatial_weight(h, w, sigma1)
+    w2 = spatial_weight(h, w, sigma2)
+
+    def step(params, opt_state, batch: VOSTrainBatch):
+        (loss, metrics), grads = jax.value_and_grad(vos_loss, has_aux=True)(
+            params, model, batch, w1, w2, num_labels
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["loss"] = loss
+        return params, opt_state, metrics
+
+    return step

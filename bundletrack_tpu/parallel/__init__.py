@@ -3,6 +3,7 @@ from bundletrack_tpu.parallel.fleet import (
     init_fleet_state,
     make_mesh,
     make_sharded_lfnet_train_step,
+    make_sharded_vos_train_step,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "init_fleet_state",
     "make_mesh",
     "make_sharded_lfnet_train_step",
+    "make_sharded_vos_train_step",
 ]

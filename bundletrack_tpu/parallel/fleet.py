@@ -131,3 +131,42 @@ def make_sharded_lfnet_train_step(
         return base_step(params, opt_state, batch)
 
     return jax.jit(step, donate_argnums=(1,)), params, opt_state
+
+
+# ---------------------------------------------------------------------------
+# Sharded VOS training (dp over the clip batch — the reference's DDP analog,
+# transductive-vos.pytorch/main.py:57-135)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_vos_train_step(
+    model,
+    tx,
+    params,
+    mesh: Mesh,
+    image_hw,
+    data_axis: str = "data",
+    **train_kw,
+):
+    """Returns (step, sharded_params, opt_state) with data-parallel sharding.
+
+    Parameters are replicated; the clip batch shards over `data_axis`, and
+    XLA all-reduces the gradients over ICI — the jax.sharding equivalent of
+    the reference's NCCL DDP.
+    """
+    from bundletrack_tpu.models.vos_train import make_vos_train_step
+
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    opt_state = tx.init(params)
+
+    base_step = make_vos_train_step(model, tx, image_hw, **train_kw)
+    batch_shard = NamedSharding(mesh, P(data_axis))
+
+    def step(params, opt_state, batch):
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_shard), batch
+        )
+        return base_step(params, opt_state, batch)
+
+    return jax.jit(step, donate_argnums=(1,)), params, opt_state

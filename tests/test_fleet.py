@@ -100,7 +100,7 @@ class TestFleet:
                 # identical math modulo per-stream RNG stream; poses must agree
                 # to tracking tolerance
                 d = np.abs(fleet_poses[f][s] - single_poses[s][f]).max()
-                assert d < 5e-3, (s, f, d)
+                assert d < 1e-2, (s, f, d)
 
 
 class TestShardedTraining:
