@@ -86,9 +86,9 @@ def main():
     # --- stage 3: neighbor matching ---
     fc = cfg.feature_corres
     M = cfg.shapes.max_matches
-    eye = jnp.eye(4)
+    eye = jnp.eye(4).copy()
 
-    def nb_match(fe_a):
+    def nb_match(fe_a, eye):
         return match_pair(
             fe_a.desc, fe_a.pts, fe_a.normals, fe_a.valid, eye,
             fe_a.desc, fe_a.pts + 0.001, fe_a.normals, fe_a.valid, eye,
@@ -97,8 +97,8 @@ def main():
         )
 
     nbj = jax.jit(nb_match)
-    timed("neighbor match (1 pair)", nbj, feats, reps=reps)
-    nb = jax.block_until_ready(nbj(feats))
+    timed("neighbor match (1 pair)", nbj, feats, eye, reps=reps)
+    nb = jax.block_until_ready(nbj(feats, eye))
 
     # --- stage 4: neighbor RANSAC ---
     rc = cfg.ransac
@@ -108,7 +108,7 @@ def main():
     nbn = feats.normals[nb.idx_b]
     key = jax.random.PRNGKey(0)
 
-    def nb_ransac(key, pa, pb, na, nbn, v):
+    def nb_ransac(key, pa, pb, na, nbn, v, eye):
         return ransac_pair(
             key, pa, pb, na, nbn, v, eye,
             num_trials=rc.max_iter, inlier_dist=rc.inlier_dist,
@@ -120,7 +120,7 @@ def main():
 
     rj = jax.jit(nb_ransac)
     timed("neighbor RANSAC (2000 trials)", rj, key, pa, pb, na, nbn, nb.valid,
-          reps=reps)
+          eye, reps=reps)
 
     # --- stage 5: BA all-pairs matching ---
     KBA = cfg.bundle.max_ba_frames
@@ -133,10 +133,10 @@ def main():
     ba_pts = jnp.broadcast_to(feats.pts, (KBA, N, 3))
     ba_nrm = jnp.broadcast_to(feats.normals, (KBA, N, 3))
     ba_kpv = jnp.broadcast_to(feats.valid, (KBA, N))
-    ba_pose = jnp.broadcast_to(jnp.eye(4), (KBA, 4, 4))
+    ba_pose = jnp.broadcast_to(jnp.eye(4), (KBA, 4, 4)).copy()
     pair_valid = jnp.ones((P,), bool)
 
-    def ba_match(d, p, n, v, poses):
+    def ba_match(d, p, n, v, poses, pair_valid):
         return match_pairs_batched(
             d, p, n, v, poses, PI, PJ, pair_valid,
             max_dist=fc.max_dist_no_neighbor,
@@ -146,8 +146,10 @@ def main():
 
     bmj = jax.jit(ba_match)
     timed(f"BA matching ({P} pairs)", bmj, ba_desc, ba_pts, ba_nrm, ba_kpv,
-          ba_pose, reps=reps)
-    bm = jax.block_until_ready(bmj(ba_desc, ba_pts, ba_nrm, ba_kpv, ba_pose))
+          ba_pose, pair_valid, reps=reps)
+    bm = jax.block_until_ready(
+        bmj(ba_desc, ba_pts, ba_nrm, ba_kpv, ba_pose, pair_valid)
+    )
 
     # --- stage 6: multi-pair RANSAC ---
     g = lambda arr, idx: jnp.take_along_axis(arr, idx[..., None], axis=1)
@@ -155,9 +157,12 @@ def main():
     mpb = g(jnp.take(ba_pts, PJ, axis=0), bm.idx_b)
     mna = g(jnp.take(ba_nrm, PI, axis=0), bm.idx_a)
     mnb = g(jnp.take(ba_nrm, PJ, axis=0), bm.idx_b)
-    prior = jnp.broadcast_to(jnp.eye(4), (P, 4, 4))
+    # NOTE: pass all device data as ARGUMENTS — a closed-over device constant
+    # makes the jitted callable re-materialize it per call (~30 ms artifacts
+    # measured on the axon TPU runtime)
+    prior = jnp.broadcast_to(jnp.eye(4), (P, 4, 4)).copy()
 
-    def mp_ransac(key, mpa, mpb, mna, mnb, v):
+    def mp_ransac(key, mpa, mpb, mna, mnb, v, prior):
         return ransac_multi_pair(
             key, mpa, mpb, mna, mnb, v, prior,
             num_trials=rc.max_iter, inlier_dist=rc.inlier_dist,
@@ -169,7 +174,7 @@ def main():
 
     mrj = jax.jit(mp_ransac)
     timed(f"multi-pair RANSAC ({P} pairs)", mrj, key, mpa, mpb, mna, mnb,
-          bm.valid, reps=reps)
+          bm.valid, prior, reps=reps)
 
     # --- stage 7: pose-graph solve (sparse + dense) ---
     rngn = np.random.RandomState(0)

@@ -65,6 +65,10 @@ class BundleConfig:
     robust_delta: float = 0.005
     min_fm_edges_newframe: int = 5
     image_downscale: int = 4  # dense point-to-plane term resolution divisor
+    # static capacity of compacted valid source pixels per frame in the dense
+    # term (the reference sizes its dense residual buffers at H*W/4 per pair,
+    # src/cuda/LossGPU.cu:102); valid pixels beyond this are decimated evenly
+    dense_src_capacity: int = 4096
     solver_backend: str = "cholesky"  # "cholesky" (dense 6Kx6K normal eqs) or "pcg"
     lm_lambda: float = 1e-6  # Levenberg damping added to the normal equations
     w_sparse: float = 1.0  # reference SBA.cpp:28-32 weightsSparse = 1

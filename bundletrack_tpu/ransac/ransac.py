@@ -58,12 +58,71 @@ def _score_model(
     inlier_dist: float,
     cos_normal: float,
 ) -> jnp.ndarray:
-    """[T, M] bool inlier matrix for a chunk of trials."""
+    """[T, M] bool inlier matrix for a chunk of trials (direct evaluation,
+    used only for the winning trial's final inlier mask)."""
     pa = transform_points(T_ab, pts_a[None])  # [T, M, 3]
     na = transform_normals(T_ab, normals_a[None])
     d2 = jnp.sum((pa - pts_b[None]) ** 2, axis=-1)
     cos = jnp.sum(na * normals_b[None], axis=-1)
     return (d2 < inlier_dist * inlier_dist) & (cos > cos_normal) & match_valid[None]
+
+
+def _match_features(pts_a, pts_b, normals_a, normals_b):
+    """Per-match feature table G [M, 26] for bilinear trial scoring.
+
+    With R orthonormal, ||R pa + t - pb||^2 expands to a dot product between
+    a trial feature (built from R, t) and a match feature:
+      d2 = (2 R^T t)·pa - 2 t·pb - 2 <R, pb pa^T> + (|pa|^2+|pb|^2) + |t|^2
+    and the normal test (R na)·nb = <R, nb na^T>.  Scoring T trials against
+    M matches then becomes ONE [T, 26] x [26, M] matmul on the MXU instead of
+    materializing [T, M, 3] transformed points (the reference evaluates each
+    (trial, point) on a CUDA thread, ransacEvalModelKernel:1183-1200).
+    """
+    M = pts_a.shape[0]
+    outer_pb_pa = (pts_b[:, :, None] * pts_a[:, None, :]).reshape(M, 9)
+    outer_nb_na = (normals_b[:, :, None] * normals_a[:, None, :]).reshape(M, 9)
+    sq = jnp.sum(pts_a * pts_a, -1) + jnp.sum(pts_b * pts_b, -1)
+    ones = jnp.ones((M,), pts_a.dtype)
+    return jnp.concatenate(
+        [pts_a, pts_b, outer_pb_pa, sq[:, None], ones[:, None], outer_nb_na],
+        axis=-1,
+    )  # [M, 26]
+
+
+def _trial_features(T_ab):
+    """Per-trial feature table F [T, 26] matching _match_features."""
+    T = T_ab.shape[0]
+    R = T_ab[:, :3, :3]
+    t = T_ab[:, :3, 3]
+    f_pa = 2.0 * jnp.einsum("tij,ti->tj", R, t)  # (2 R^T t)·pa
+    f_pb = -2.0 * t
+    f_outer = -2.0 * R.reshape(T, 9)
+    f_sq = jnp.ones((T, 1), T_ab.dtype)
+    f_one = jnp.sum(t * t, -1, keepdims=True)
+    f_cos = R.reshape(T, 9)
+    return jnp.concatenate([f_pa, f_pb, f_outer, f_sq, f_one, f_cos], axis=-1)
+
+
+def _count_inliers_bilinear(
+    T_ab, G, match_valid, inlier_dist, cos_normal
+) -> jnp.ndarray:
+    """[T] inlier counts via the bilinear MXU formulation.
+
+    f32 ("highest") matmuls: the d2 expansion cancels |pa|^2+|pb|^2 (~1 m^2)
+    against the cross terms down to the 1e-4 m^2 threshold scale — bf16
+    accumulation would swamp it, f32 keeps ~2e-7 absolute error.
+    """
+    F = _trial_features(T_ab)  # [T, 26]
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d2 = dot(F[:, :17], G[:, :17])  # [T, M]
+    cos = dot(F[:, 17:], G[:, 17:])
+    inl = (d2 < inlier_dist * inlier_dist) & (cos > cos_normal) & match_valid[None]
+    return jnp.sum(inl, axis=-1)
 
 
 def ransac_pair(
@@ -114,24 +173,11 @@ def ransac_pair(
     ) < jnp.deg2rad(max_rot_deg)
     model_ok = tri_ok & distinct & trans_ok & rot_ok
 
-    # --- score trials in chunks ------------------------------------------
-    num_chunks = -(-num_trials // trial_chunk)
-    pad = num_chunks * trial_chunk - num_trials
-    T_pad = jnp.concatenate(
-        [T_ab, jnp.broadcast_to(jnp.eye(4, dtype=T_ab.dtype), (pad, 4, 4))]
-    ) if pad else T_ab
-    ok_pad = jnp.concatenate([model_ok, jnp.zeros((pad,), bool)]) if pad else model_ok
-    T_chunks = T_pad.reshape(num_chunks, trial_chunk, 4, 4)
-    ok_chunks = ok_pad.reshape(num_chunks, trial_chunk)
-
-    def count_chunk(args):
-        Tc, okc = args
-        inl = _score_model(
-            Tc, pts_a, pts_b, normals_a, normals_b, match_valid, inlier_dist, cos_normal
-        )
-        return jnp.sum(inl, axis=-1) * okc.astype(jnp.int32)
-
-    counts = jax.lax.map(count_chunk, (T_chunks, ok_chunks)).reshape(-1)[:num_trials]
+    # --- score all trials: one bilinear MXU contraction --------------------
+    G = _match_features(pts_a, pts_b, normals_a, normals_b)  # [M, 26]
+    counts = _count_inliers_bilinear(
+        T_ab, G, match_valid, inlier_dist, cos_normal
+    ) * model_ok.astype(jnp.int32)
 
     best = jnp.argmax(counts)
     best_pose = T_ab[best]

@@ -3,7 +3,13 @@ from bundletrack_tpu.solver.residuals import (
     sparse_normal_equations,
     SparseCorres,
 )
-from bundletrack_tpu.solver.dense_p2p import dense_p2p_normal_equations, DenseFrames
+from bundletrack_tpu.solver.dense_p2p import (
+    CompactDense,
+    DenseFrames,
+    compact_dense_frames,
+    dense_p2p_from_compact,
+    dense_p2p_normal_equations,
+)
 from bundletrack_tpu.solver.gauss_newton import (
     GraphInputs,
     optimize_pose_graph,
@@ -16,6 +22,9 @@ __all__ = [
     "sparse_normal_equations",
     "SparseCorres",
     "dense_p2p_normal_equations",
+    "dense_p2p_from_compact",
+    "compact_dense_frames",
+    "CompactDense",
     "DenseFrames",
     "GraphInputs",
     "optimize_pose_graph",

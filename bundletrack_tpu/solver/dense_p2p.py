@@ -2,7 +2,8 @@
 
 TPU-native rewrite of the reference's dense depth term
 (reference: src/cuda/Solver/SolverBundling.cu — FindDenseCorrespondences_Kernel
-:60-113 projective association with depth/normal gates,
+:60-113 projective association with depth/normal gates (one direction per
+overlapping pair: src = j transformed by inv(T_i)·T_j into tgt = i),
 WeightDenseCorrespondences_Kernel:115-127 pair weights 1/min(log n, 9) with an
 800-px floor, BuildDenseSystem_Kernel:129-229 point-to-plane residual
 dot(camPosTgt - camPosSrcToTgt, normalTgt) with Huber and the photometric
@@ -10,15 +11,24 @@ residual path :199-227; association helpers SolverBundlingDenseUtil.h
 findDenseCorr:14-215, block scatter addToLocalSystem:217-285; low-res frame
 cache CUDACache.cpp:76-88).
 
-Performance design — structure-of-arrays scalar-component math:
-every hot array is a plain [D, N] f32/pred plane (D = 2P directed pairs,
-N = H*W pixels), tiled (8, 128) with zero padding waste.  Profiling showed
-that arrays with a trailing 3-vector dimension ([D, N, 3]) push XLA into
-transposed {0,1} layouts for the batched gathers, costing ~220 ms/iteration
-in layout-conversion copies alone; per-channel take_along_axis on [D, N]
-planes plus broadcast multiply-adds runs the same math at HBM speed.  The
-6x6 normal-equation blocks are built as 90 masked reductions over shared
-inputs (XLA multi-output fusion), then scatter-added into [K, K, 6, 6].
+Performance design (measured on TPU; see benchmarks/profile_dense_micro.py):
+
+* The projective-association gather dominates — TPU gathers cost ~3-7 ns per
+  index regardless of payload, so the fix is *fewer, narrower* indices:
+  - **Source-pixel compaction** (once per solve, not per GN iteration): only
+    masked/valid low-res pixels enter the term.  Valid pixels are decimated
+    evenly to a fixed capacity C, replacing [P, H*W] planes with [P, C].
+    The reference similarly bounds dense residuals per pair (residual buffer
+    sized H·W/4, src/cuda/LossGPU.cu:102).
+  - **Single direction per pair** like the reference (halves the gathers).
+  - **One bf16 8-channel table** per target frame: depth split hi/lo into
+    two bf16 (recombined exactly to ~2^-16 relative), normals, validity.
+    The target 3D point is *reconstructed* from (u, v, z) with the pinhole
+    model instead of gathered — 16 bytes/index instead of 32+.
+* All per-pixel math is structure-of-arrays [P, C] f32 planes (lane-aligned,
+  no 3-vector minor dimension → no layout-conversion copies).
+* The 6x6 normal-equation blocks are 90 masked reductions over shared inputs
+  (XLA multi-output fusion), scatter-added into [K, K, 6, 6].
 """
 
 from __future__ import annotations
@@ -55,10 +65,105 @@ class DenseFrames(NamedTuple):
     grad_y: jnp.ndarray | None = None
 
 
+class CompactDense(NamedTuple):
+    """Solve-ready dense-term inputs, built ONCE per BA solve.
+
+    src:       [6, K, C] f32 planes: sx, sy, sz, snx, sny, snz — evenly
+               decimated valid source pixels (capacity C).
+    src_valid: [K, C] bool
+    src_lin:   [K, C] int32 — the original linear pixel index of each
+               compacted source pixel (photometric term reads I_src here).
+    tchan:     [K, H, W, 8] bf16 gather table: z_hi, z_lo, nx, ny, nz,
+               valid, 0, 0 (z = z_hi + z_lo recombines to f32 precision).
+    cchan:     [K, H, W, 4] f32 (intensity, grad_x, grad_y, 0) or None —
+               only materialized when the photometric term is enabled.
+    """
+
+    src: jnp.ndarray
+    src_valid: jnp.ndarray
+    src_lin: jnp.ndarray
+    tchan: jnp.ndarray
+    cchan: jnp.ndarray | None = None
+
+
+def compact_dense_frames(
+    frames: DenseFrames, capacity: int | None = None, with_color: bool = False
+) -> CompactDense:
+    """Select up to `capacity` valid pixels per frame (evenly spaced over the
+    valid set) and pack the gather tables.  Runs once per solve."""
+    Kf, Hh, Ww = frames.valid.shape
+    N = Hh * Ww
+    C = min(N, capacity) if capacity else min(N, 4096)
+
+    val = frames.valid.reshape(Kf, N)
+    pf = frames.points.reshape(Kf, N, 3)
+    nf = frames.normals.reshape(Kf, N, 3)
+
+    def select(valid_k):  # [N] bool -> (sel_idx [C], sel_valid [C])
+        count = jnp.sum(valid_k.astype(jnp.int32))
+        rank = jnp.cumsum(valid_k.astype(jnp.int32)) - 1  # [N]
+        # pixel index for each rank (invalid pixels dropped via clamp slot N)
+        slot = jnp.where(valid_k, rank, N)
+        idx_by_rank = (
+            jnp.zeros((N + 1,), jnp.int32)
+            .at[slot]
+            .set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+        )
+        c = jnp.arange(C, dtype=jnp.int32)
+        sel_rank = jnp.where(count > C, (c * count) // C, c)
+        sel_idx = idx_by_rank[jnp.minimum(sel_rank, N - 1)]
+        sel_valid = c < jnp.minimum(count, C)
+        return sel_idx, sel_valid
+
+    sel_idx, sel_valid = jax.vmap(select)(val)  # [K, C]
+
+    g = lambda a: jnp.take_along_axis(a, sel_idx, axis=1)  # [K, C]
+    src = jnp.stack(
+        [
+            g(pf[..., 0]), g(pf[..., 1]), g(pf[..., 2]),
+            g(nf[..., 0]), g(nf[..., 1]), g(nf[..., 2]),
+        ]
+    )  # [6, K, C]
+    zero = jnp.where(sel_valid, 1.0, 0.0)
+    src = src * zero[None]
+
+    z = jnp.where(frames.valid, frames.points[..., 2], 0.0)
+    z_hi = z.astype(jnp.bfloat16)
+    z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tchan = jnp.stack(
+        [
+            z_hi,
+            z_lo,
+            frames.normals[..., 0].astype(jnp.bfloat16),
+            frames.normals[..., 1].astype(jnp.bfloat16),
+            frames.normals[..., 2].astype(jnp.bfloat16),
+            frames.valid.astype(jnp.bfloat16),
+            jnp.zeros_like(z_hi),
+            jnp.zeros_like(z_hi),
+        ],
+        axis=-1,
+    )  # [K, H, W, 8]
+
+    cchan = None
+    if with_color and frames.intensity is not None:
+        cchan = jnp.stack(
+            [
+                frames.intensity,
+                frames.grad_x,
+                frames.grad_y,
+                jnp.zeros_like(frames.intensity),
+            ],
+            axis=-1,
+        ).astype(jnp.float32)
+    return CompactDense(
+        src=src, src_valid=sel_valid, src_lin=sel_idx, tchan=tchan, cchan=cchan
+    )
+
+
 def _rot_apply(R, x, y, z, col):
     """Row `col` of batched rotation applied to component planes.
 
-    R: [D, 3, 3]; x/y/z: [D, N].  Returns [D, N].
+    R: [P, 3, 3]; x/y/z: [P, C].  Returns [P, C].
     """
     return (
         R[:, col, 0][:, None] * x
@@ -67,9 +172,9 @@ def _rot_apply(R, x, y, z, col):
     )
 
 
-def dense_p2p_normal_equations(
+def dense_p2p_from_compact(
     poses: jnp.ndarray,  # [K, 4, 4] cam->model
-    frames: DenseFrames,
+    cd: CompactDense,
     frame_valid: jnp.ndarray,  # [K] bool
     pair_i: jnp.ndarray,  # [P]
     pair_j: jnp.ndarray,  # [P]
@@ -83,37 +188,28 @@ def dense_p2p_normal_equations(
     weight_color: float = 0.0,
     robust_delta_color: float = 0.1,
 ):
-    """Dense point-to-plane H/g over all pairs, both directions (the
-    reference enumerates ordered image pairs in FindImageImageCorr_Kernel,
-    SolverBundling.cu:17-47).
+    """Dense point-to-plane H/g over pairs, reference direction: src = j
+    projected into tgt = i via inv(T_i)·T_j (SolverBundling.cu:73).
 
     Returns (H [K,K,6,6], g [K,6], cost, per-pair corr counts [P]).
     """
-    Kf, Hh, Ww = frames.valid.shape
+    Kf, Hh, Ww, _ = cd.tchan.shape
     N = Hh * Ww
     cos_max = jnp.cos(jnp.deg2rad(max_normal_deg))
 
-    # directed pairs: forward (src=i, tgt=j) + reverse
-    src = jnp.concatenate([pair_i, pair_j])  # [D]
-    tgt = jnp.concatenate([pair_j, pair_i])
-    pair_ok = frame_valid[src] & frame_valid[tgt]  # [D]
+    src = pair_j  # [P] reference: source points come from the later frame j
+    tgt = pair_i
+    pair_ok = frame_valid[src] & frame_valid[tgt]
 
-    # component planes [K, N]
-    pf = frames.points.reshape(Kf, N, 3)
-    nf = frames.normals.reshape(Kf, N, 3)
-    px_t, py_t, pz_t = pf[..., 0], pf[..., 1], pf[..., 2]
-    nx_t, ny_t, nz_t = nf[..., 0], nf[..., 1], nf[..., 2]
-    val_t = frames.valid.reshape(Kf, N)
-
-    T_src = poses[src]  # [D, 4, 4]
+    T_src = poses[src]  # [P, 4, 4]
     T_tgt = poses[tgt]
     T_rel = _mm(se3_inverse(T_tgt), T_src)  # cam_src -> cam_tgt
     Rr = T_rel[:, :3, :3]
     tr = T_rel[:, :3, 3]
 
-    sx, sy, sz = px_t[src], py_t[src], pz_t[src]  # [D, N] src cam points
-    snx, sny, snz = nx_t[src], ny_t[src], nz_t[src]
-    ok_src = val_t[src] & pair_ok[:, None]
+    sx, sy, sz = cd.src[0][src], cd.src[1][src], cd.src[2][src]  # [P, C]
+    snx, sny, snz = cd.src[3][src], cd.src[4][src], cd.src[5][src]
+    ok_src = cd.src_valid[src] & pair_ok[:, None]
 
     # transform into target camera + project
     ax = _rot_apply(Rr, sx, sy, sz, 0) + tr[:, 0][:, None]
@@ -127,26 +223,19 @@ def dense_p2p_normal_equations(
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
     inb = (ui >= 0) & (ui < Ww) & (vi >= 0) & (vi < Hh) & (az > 1e-6)
-    lin = jnp.clip(vi, 0, Hh - 1) * Ww + jnp.clip(ui, 0, Ww - 1)  # [D, N]
+    uic = jnp.clip(ui, 0, Ww - 1)
+    vic = jnp.clip(vi, 0, Hh - 1)
+    lin = vic * Ww + uic  # [P, C]
 
-    # ONE stacked-channel gather [D, N, 8] from the target frame's tables.
-    # Channel count 8 (lane-aligned) keeps XLA on the fast sublane-gather
-    # path; per-channel [D, N] gathers along the minor axis serialize
-    # (~140 ms each), and 3-channel AoS gathers trigger transposed-layout
-    # copies — both measured on v5e.
-    chan = jnp.concatenate(
-        [
-            pf,  # px, py, pz
-            nf,  # nx, ny, nz
-            val_t[..., None].astype(pf.dtype),
-            jnp.zeros((Kf, N, 1), pf.dtype),
-        ],
-        axis=-1,
-    )  # [K, N, 8]
-    gat = jnp.take_along_axis(chan[tgt], lin[..., None], axis=1)  # [D, N, 8]
-    tx, ty, tz = gat[..., 0], gat[..., 1], gat[..., 2]
-    tnx, tny, tnz = gat[..., 3], gat[..., 4], gat[..., 5]
-    v_tgt = gat[..., 6] > 0.5
+    # ONE narrow bf16 gather per associated pixel (16 B/index); the target
+    # 3D point is reconstructed from (u, v, z) instead of gathered.
+    flat = cd.tchan.reshape(Kf * N, 8)
+    gat = jnp.take(flat, tgt[:, None] * N + lin, axis=0).astype(jnp.float32)
+    tz = gat[..., 0] + gat[..., 1]  # exact-to-f32 depth
+    tnx, tny, tnz = gat[..., 2], gat[..., 3], gat[..., 4]
+    v_tgt = gat[..., 5] > 0.5
+    tx = (uic.astype(jnp.float32) - cx) / fx * tz
+    ty = (vic.astype(jnp.float32) - cy) / fy * tz
 
     # gates (reference findDenseCorr depth/normal gates)
     d2 = (tx - ax) ** 2 + (ty - ay) ** 2 + (tz - az) ** 2
@@ -169,16 +258,16 @@ def dense_p2p_normal_equations(
     nmy = _rot_apply(Rt, tnx, tny, tnz, 1)
     nmz = _rot_apply(Rt, tnx, tny, tnz, 2)
     dqx, dqy, dqz = qtx - qsx, qty - qsy, qtz - qsz
-    r = dqx * nmx + dqy * nmy + dqz * nmz  # [D, N]
+    r = dqx * nmx + dqy * nmy + dqz * nmz  # [P, C]
 
     _, rho1 = huber(r * r, robust_delta)
-    n_corr = jnp.sum(ok, axis=-1)  # [D]
+    n_corr = jnp.sum(ok, axis=-1)  # [P]
     pair_w = jnp.where(
         n_corr >= min_pair_pixels,
         1.0 / jnp.minimum(jnp.log(jnp.maximum(n_corr.astype(r.dtype), 2.0)), 9.0),
         0.0,
     )
-    w = rho1 * ok.astype(r.dtype) * pair_w[:, None]  # [D, N]
+    w = rho1 * ok.astype(r.dtype) * pair_w[:, None]  # [P, C]
 
     # Jacobian component planes (6 each):
     #   J_src = [-n | -(q_src x n)],  J_tgt = [n | (q_tgt x n) + (n x dq)]
@@ -188,29 +277,29 @@ def dense_p2p_normal_equations(
         axx * by - ayy * bx,
     )
     c1x, c1y, c1z = cross(qsx, qsy, qsz, nmx, nmy, nmz)
-    Ji = (-nmx, -nmy, -nmz, -c1x, -c1y, -c1z)
+    Jsrc = (-nmx, -nmy, -nmz, -c1x, -c1y, -c1z)
     c2x, c2y, c2z = cross(qtx, qty, qtz, nmx, nmy, nmz)
     c3x, c3y, c3z = cross(nmx, nmy, nmz, dqx, dqy, dqz)
-    Jj = (nmx, nmy, nmz, c2x + c3x, c2y + c3y, c2z + c3z)
+    Jtgt = (nmx, nmy, nmz, c2x + c3x, c2y + c3y, c2z + c3z)
 
     def blocks(Ja, Jb, w):
-        """[D, 6, 6] H-block and via closure the shared-w reductions."""
         rows = []
         for a in range(6):
             cols = [jnp.sum(w * Ja[a] * Jb[b], axis=-1) for b in range(6)]
             rows.append(jnp.stack(cols, axis=-1))
-        return jnp.stack(rows, axis=-2)  # [D, 6, 6]
+        return jnp.stack(rows, axis=-2)  # [P, 6, 6]
 
     def grad(Ja, w, r):
         return jnp.stack(
             [jnp.sum(w * Ja[a] * r, axis=-1) for a in range(6)], axis=-1
-        )  # [D, 6]
+        )  # [P, 6]
 
-    Hss = blocks(Ji, Ji, w)
-    Htt = blocks(Jj, Jj, w)
-    Hst = blocks(Ji, Jj, w)
-    gs = grad(Ji, w, r)
-    gt = grad(Jj, w, r)
+    # scatter_blocks(Kf, a, b, Haa, Hbb, Hab, ga, gb): here a=src, b=tgt
+    Hss = blocks(Jsrc, Jsrc, w)
+    Htt = blocks(Jtgt, Jtgt, w)
+    Hst = blocks(Jsrc, Jtgt, w)
+    gs = grad(Jsrc, w, r)
+    gt = grad(Jtgt, w, r)
 
     H, g = scatter_blocks(Kf, src, tgt, Hss, Htt, Hst, gs, gt)
     rho0, _ = huber(r * r, robust_delta)
@@ -225,11 +314,9 @@ def dense_p2p_normal_equations(
     # Jacobian chains the image gradient through the projection derivative
     # (reference ICPUtil.h dCameraToScreen): J_src = [a | q_src x a] with
     # a = R_tgt (J_pi^T grad),  J_tgt = -J_src.
-    if weight_color > 0.0 and frames.intensity is not None:
-        int_t = frames.intensity.reshape(Kf, N)
-        gx_t = frames.grad_x.reshape(Kf, N)
-        gy_t = frames.grad_y.reshape(Kf, N)
-        i_src = int_t[src]
+    if weight_color > 0.0 and cd.cchan is not None:
+        cflat = cd.cchan.reshape(Kf * N, 4)
+        i_src = jnp.take(cflat[..., 0], src[:, None] * N + cd.src_lin[src], axis=0)
 
         u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, Ww - 2)
         v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, Hh - 2)
@@ -237,11 +324,8 @@ def dense_p2p_normal_equations(
         dv = jnp.clip(v - v0, 0.0, 1.0)
         l00 = v0 * Ww + u0
 
-        cchan = jnp.stack([int_t, gx_t, gy_t, jnp.zeros_like(int_t)], axis=-1)
-        cchan = cchan[tgt]  # [D, N, 4]
-
         def tap(off):
-            return jnp.take_along_axis(cchan, (l00 + off)[..., None], axis=1)
+            return jnp.take(cflat, tgt[:, None] * N + l00 + off, axis=0)
 
         w00 = ((1 - du) * (1 - dv))[..., None]
         w01 = (du * (1 - dv))[..., None]
@@ -269,5 +353,39 @@ def dense_p2p_normal_equations(
         rho0c, _ = huber(r_c * r_c, robust_delta_color)
         cost = cost + jnp.sum(rho0c * ok * pair_w[:, None]) * weight_color
 
-    P = pair_i.shape[0]
-    return H, g, cost, n_corr[:P] + n_corr[P:]
+    return H, g, cost, n_corr
+
+
+def dense_p2p_normal_equations(
+    poses: jnp.ndarray,
+    frames: DenseFrames,
+    frame_valid: jnp.ndarray,
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    K_lowres: jnp.ndarray,
+    *,
+    max_dist: float = 0.02,
+    max_normal_deg: float = 45.0,
+    robust_delta: float = 0.005,
+    min_pair_pixels: int = 800,
+    weight: float = 1.0,
+    weight_color: float = 0.0,
+    robust_delta_color: float = 0.1,
+    src_capacity: int | None = None,
+):
+    """One-shot convenience wrapper: compact + evaluate.  Inside a GN loop,
+    call compact_dense_frames once and dense_p2p_from_compact per iteration
+    (see solver/gauss_newton.py)."""
+    cd = compact_dense_frames(
+        frames, capacity=src_capacity, with_color=weight_color > 0.0
+    )
+    return dense_p2p_from_compact(
+        poses, cd, frame_valid, pair_i, pair_j, K_lowres,
+        max_dist=max_dist,
+        max_normal_deg=max_normal_deg,
+        robust_delta=robust_delta,
+        min_pair_pixels=min_pair_pixels,
+        weight=weight,
+        weight_color=weight_color,
+        robust_delta_color=robust_delta_color,
+    )

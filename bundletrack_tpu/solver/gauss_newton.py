@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from bundletrack_tpu.geometry.se3 import se3_update_left
-from bundletrack_tpu.solver.dense_p2p import DenseFrames, dense_p2p_normal_equations
+from bundletrack_tpu.solver.dense_p2p import (
+    CompactDense,
+    DenseFrames,
+    compact_dense_frames,
+    dense_p2p_from_compact,
+)
 from bundletrack_tpu.solver.residuals import SparseCorres, sparse_normal_equations
 from bundletrack_tpu.solver.pcg import solve_normal_equations_pcg
 
@@ -78,18 +83,34 @@ def solve_normal_equations_cholesky(H, g, lm_lambda: float):
     return delta.reshape(K, 6)
 
 
-def build_normal_equations(inputs: GraphInputs, cfg):
-    """Assemble H/g from sparse + dense terms (one GN linearization)."""
+def build_normal_equations(
+    inputs: GraphInputs, cfg, dense_compact: Optional[CompactDense] = None
+):
+    """Assemble H/g from sparse + dense terms (one GN linearization).
+
+    `dense_compact` should be built once per solve with compact_dense_frames
+    (the compaction + gather-table packing is pose-independent); when omitted
+    it is built here.
+    """
     H, g, cost, _ = sparse_normal_equations(
         inputs.poses,
         inputs.corres,
         robust_delta=cfg.robust_delta,
         weight=cfg.w_sparse,
     )
-    if inputs.dense is not None and (cfg.w_dense_depth > 0.0 or cfg.w_dense_color > 0.0):
-        Hd, gd, cd, _ = dense_p2p_normal_equations(
+    use_dense = inputs.dense is not None and (
+        cfg.w_dense_depth > 0.0 or cfg.w_dense_color > 0.0
+    )
+    if use_dense:
+        if dense_compact is None:
+            dense_compact = compact_dense_frames(
+                inputs.dense,
+                capacity=cfg.dense_src_capacity,
+                with_color=cfg.w_dense_color > 0.0,
+            )
+        Hd, gd, cd, _ = dense_p2p_from_compact(
             inputs.poses,
-            inputs.dense,
+            dense_compact,
             inputs.frame_valid,
             inputs.corres.pair_i,
             inputs.corres.pair_j,
@@ -111,10 +132,23 @@ def optimize_pose_graph(inputs: GraphInputs, cfg, p2p_cfg=None):
     lm_lambda, solver_backend, w_sparse/w_dense_depth).
     """
 
+    use_dense = inputs.dense is not None and (
+        cfg.w_dense_depth > 0.0 or cfg.w_dense_color > 0.0
+    )
+    dense_compact = (
+        compact_dense_frames(
+            inputs.dense,
+            capacity=cfg.dense_src_capacity,
+            with_color=cfg.w_dense_color > 0.0,
+        )
+        if use_dense
+        else None
+    )
+
     def outer(it, carry):
         poses, _ = carry
         cur = inputs._replace(poses=poses)
-        H, g, cost = build_normal_equations(cur, cfg)
+        H, g, cost = build_normal_equations(cur, cfg, dense_compact)
         free = inputs.free_mask & inputs.frame_valid
         H, g = _apply_gauge(H, g, free)
         if cfg.solver_backend == "pcg":
