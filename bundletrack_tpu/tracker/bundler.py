@@ -86,8 +86,12 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
     K_BA = cfg.bundle.max_ba_frames
     n_pool_sel = K_BA - 1
     pair_i_np, pair_j_np = np.triu_indices(K_BA, k=1)
-    PAIR_I = jnp.asarray(pair_i_np, jnp.int32)
-    PAIR_J = jnp.asarray(pair_j_np, jnp.int32)
+    # NUMPY constants, not device arrays: a jitted closure that captures a
+    # committed device array forces the axon TPU runtime into synchronous
+    # dispatch for the REST OF THE PROCESS (~32 ms tunnel RTT per call, every
+    # executable). numpy constants are baked into the program as literals.
+    PAIR_I = pair_i_np.astype(np.int32)
+    PAIR_J = pair_j_np.astype(np.int32)
     M = cfg.shapes.max_matches
 
     def step(

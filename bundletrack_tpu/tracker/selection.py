@@ -16,11 +16,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bundletrack_tpu.geometry.se3 import rotation_geodesic_distance
 
-_BIG = jnp.float32(1e9)
-_BIG_ID = jnp.int32(1 << 30)
+# Plain numpy scalars, NOT jnp.float32(...): a module-level jnp scalar is a
+# committed device array; capturing one in a jitted closure flips the axon TPU
+# runtime into synchronous dispatch for the rest of the process (~32 ms tunnel
+# round-trip added to EVERY executable call).
+_BIG = np.float32(1e9)
+_BIG_ID = np.int32(1 << 30)
 
 
 def keyframe_admission(
