@@ -45,20 +45,25 @@ def main():
             jnp.asarray(seq.K),
         )
 
+    from bundletrack_tpu.utils.timing import hard_sync
+
     # warmup: first frames trigger compilation of both cond branches
     n_warm = 4
     for f in range(n_warm):
         out = tracker.process_frame(
             seq.gray[f], seq.depth[f], seq.mask[f], seq.K, init_pose=init_pose
         )
-    jax.block_until_ready(out)
+    hard_sync(out)
 
     t0 = time.perf_counter()
     for f in range(n_warm, n_frames):
         out = tracker.process_frame(
             seq.gray[f], seq.depth[f], seq.mask[f], seq.K, init_pose=init_pose
         )
-    jax.block_until_ready(out)
+    # tracker state chains frame->frame, so a host readback of the last
+    # output fences every frame's device work (block_until_ready is not a
+    # reliable fence on the remote-tunnel PJRT platform)
+    hard_sync(out)
     dt = time.perf_counter() - t0
     timed = n_frames - n_warm
     fps = timed / dt
@@ -106,7 +111,8 @@ def _secondary_benches(cfg, seq):
             mask=tile(seq.mask[f]), K=tile(seq.K),
         )
         state, out = step(state, obs, init_pose)
-    jax.block_until_ready(out)
+    from bundletrack_tpu.utils.timing import hard_sync
+    hard_sync(out)
     t0 = time.perf_counter()
     timed = 0
     for f in range(2, n_frames):
@@ -116,7 +122,7 @@ def _secondary_benches(cfg, seq):
         )
         state, out = step(state, obs, init_pose)
         timed += 1
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = time.perf_counter() - t0
     print(
         f"[bench] fleet S={S}: {S * timed / dt:.2f} aggregate fps "
@@ -133,11 +139,13 @@ def _secondary_benches(cfg, seq):
     model, params = init_lfnet(fcfg)
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
     x = jnp.zeros((1, fcfg.input_size, fcfg.input_size, 1), jnp.float32)
-    jax.block_until_ready(fwd(params, x))
+    hard_sync(fwd(params, x))
     t0 = time.perf_counter()
     for _ in range(20):
         out = fwd(params, x)
-    jax.block_until_ready(out)
+    # same-device executions serialize in dispatch order, so fencing the
+    # last call fences all 20
+    hard_sync(out)
     print(
         f"[bench] lfnet 400x400 forward: {(time.perf_counter() - t0) / 20 * 1000:.2f} ms",
         file=sys.stderr,

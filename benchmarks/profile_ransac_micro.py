@@ -11,6 +11,11 @@ import time
 
 import numpy as np
 
+
+def hard_sync(x):
+    from bundletrack_tpu.utils.timing import hard_sync as _hs
+    return _hs(x)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -38,12 +43,12 @@ key = jax.random.PRNGKey(0)
 
 
 def timed(name, fn, *args, reps=10):
-    out = jax.block_until_ready(jax.jit(fn)(*args))
+    out = hard_sync(jax.jit(fn)(*args))
     f = jax.jit(fn)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     print(f"{name:36s} {(time.perf_counter() - t0) / reps * 1000:8.2f} ms")
     return out
 

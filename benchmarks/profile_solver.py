@@ -12,17 +12,22 @@ import time
 
 import numpy as np
 
+
+def hard_sync(x):
+    from bundletrack_tpu.utils.timing import hard_sync as _hs
+    return _hs(x)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(name, fn, *args, reps=10):
     import jax
 
-    out = jax.block_until_ready(fn(*args))
+    out = hard_sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = (time.perf_counter() - t0) / reps * 1000
     print(f"{name:40s} {dt:8.2f} ms")
     return dt
@@ -94,7 +99,7 @@ def main():
         )[:2]
     )
     timed("dense term (240 dir-pairs x 19200)", dn, poses, dense, reps=reps)
-    Hm, gm = jax.block_until_ready(dn(poses, dense))
+    Hm, gm = hard_sync(dn(poses, dense))
 
     ch = jax.jit(
         lambda Hm, gm: solve_normal_equations_cholesky(

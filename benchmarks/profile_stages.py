@@ -16,17 +16,22 @@ import time
 
 import numpy as np
 
+
+def hard_sync(x):
+    from bundletrack_tpu.utils.timing import hard_sync as _hs
+    return _hs(x)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(name, fn, *args, reps=10):
     import jax
 
-    out = jax.block_until_ready(fn(*args))
+    out = hard_sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = (time.perf_counter() - t0) / reps * 1000
     print(f"{name:32s} {dt:8.2f} ms")
     return dt
@@ -73,7 +78,7 @@ def main():
     pre = jax.jit(lambda o: _preprocess(o, cfg))
     timed("preprocess(depth+cloud)", pre, obs, reps=reps)
     (depth_p, mask_p, pts_map, nrm_map, val_map, pts_low, nrm_low, val_low,
-     K_low) = jax.block_until_ready(pre(obs))
+     K_low) = hard_sync(pre(obs))
 
     # --- stage 2: frontend ---
     fe = jax.jit(
@@ -81,7 +86,7 @@ def main():
     )
     timed("frontend(classical)", fe, gray, mask_p, pts_map, nrm_map, val_map,
           reps=reps)
-    feats = jax.block_until_ready(fe(gray, mask_p, pts_map, nrm_map, val_map))
+    feats = hard_sync(fe(gray, mask_p, pts_map, nrm_map, val_map))
 
     # --- stage 3: neighbor matching ---
     fc = cfg.feature_corres
@@ -98,7 +103,7 @@ def main():
 
     nbj = jax.jit(nb_match)
     timed("neighbor match (1 pair)", nbj, feats, eye, reps=reps)
-    nb = jax.block_until_ready(nbj(feats, eye))
+    nb = hard_sync(nbj(feats, eye))
 
     # --- stage 4: neighbor RANSAC ---
     rc = cfg.ransac
@@ -147,7 +152,7 @@ def main():
     bmj = jax.jit(ba_match)
     timed(f"BA matching ({P} pairs)", bmj, ba_desc, ba_pts, ba_nrm, ba_kpv,
           ba_pose, pair_valid, reps=reps)
-    bm = jax.block_until_ready(
+    bm = hard_sync(
         bmj(ba_desc, ba_pts, ba_nrm, ba_kpv, ba_pose, pair_valid)
     )
 
@@ -203,7 +208,7 @@ def main():
     step = jax.jit(make_track_frame(cfg, H, W))
     st = init_tracker_state(cfg, H, W, 0)
     init_pose = jnp.asarray(np.linalg.inv(seq.ob_in_cam[0]), jnp.float32)
-    st, _ = jax.block_until_ready(step(st, obs, init_pose))  # frame 0 path
+    st, _ = hard_sync(step(st, obs, init_pose))  # frame 0 path
     timed("full step (track branch)", lambda s: step(s, obs, init_pose)[1], st,
           reps=reps)
 

@@ -10,12 +10,39 @@ for finer-grain kernel timing use jax.profiler traces
 
 from __future__ import annotations
 
+import functools
 import time
 from collections import defaultdict
 from contextlib import contextmanager
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
+
+
+def hard_sync(tree: Any) -> Any:
+    """Force completion of all device work producing `tree`; returns `tree`.
+
+    `jax.block_until_ready` is NOT reliable on every PJRT plugin (on the
+    remote-tunnel TPU platform it returns before execution finishes, which
+    makes naive timing report dispatch cost instead of device time).  The
+    only portable completion fence is a host readback that data-depends on
+    the result, so this reduces one scalar from every leaf and fetches it.
+    Use this, never block_until_ready, around timed regions.
+    """
+    leaves = [
+        x
+        for x in jax.tree_util.tree_leaves(tree)
+        if isinstance(x, jax.Array) and x.size
+    ]
+    if not leaves:
+        return tree
+    tok = functools.reduce(
+        lambda a, b: a + b,
+        [jnp.ravel(x)[0].astype(jnp.float32) for x in leaves],
+    )
+    jax.device_get(tok)
+    return tree
 
 
 class StageTimer:
@@ -33,7 +60,7 @@ class StageTimer:
         t0 = time.perf_counter()
         yield
         if sync is not None:
-            jax.block_until_ready(sync)
+            hard_sync(sync)
         self.times[name].append(time.perf_counter() - t0)
 
     def record(self, name: str, seconds: float) -> None:
