@@ -5,18 +5,16 @@ Breaks the 120-pair x 2000-trial RANSAC into its component ops (sampling,
 stage total in profile_stages.py can be attributed and optimized.
 """
 
-import sys
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bundletrack_tpu.utils.timing import hard_sync
 import time
 
 import numpy as np
 
 
-def hard_sync(x):
-    from bundletrack_tpu.utils.timing import hard_sync as _hs
-    return _hs(x)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -12,16 +12,14 @@ Usage: python benchmarks/profile_stages.py [--reps 10]
 import argparse
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bundletrack_tpu.utils.timing import hard_sync
 import time
 
 import numpy as np
 
 
-def hard_sync(x):
-    from bundletrack_tpu.utils.timing import hard_sync as _hs
-    return _hs(x)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(name, fn, *args, reps=10):

@@ -3,14 +3,14 @@
 Reference: src/cuda/CUDATimer.h:28-120 (cudaEvent-based named events with
 aggregate mean/sum evaluation), src/cuda/TimingLog.h:6-60 (per-frame stage
 times).  Device work is async under JAX, so stage boundaries call
-block_until_ready on a representative output (like cudaEventSynchronize);
-for finer-grain kernel timing use jax.profiler traces
+`hard_sync` — a host readback fence that data-depends on the stage outputs
+(block_until_ready is not a reliable completion fence on every PJRT
+plugin); for finer-grain kernel timing use jax.profiler traces
 (utils/profiling.trace).
 """
 
 from __future__ import annotations
 
-import functools
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -27,21 +27,31 @@ def hard_sync(tree: Any) -> Any:
     remote-tunnel TPU platform it returns before execution finishes, which
     makes naive timing report dispatch cost instead of device time).  The
     only portable completion fence is a host readback that data-depends on
-    the result, so this reduces one scalar from every leaf and fetches it.
-    Use this, never block_until_ready, around timed regions.
+    the result, so this fetches one scalar from every leaf in a single
+    transfer.  Use this, never block_until_ready, around timed regions.
+
+    Leaves committed to different devices are fine (no cross-device op is
+    built); extended dtypes such as typed PRNG key arrays are fenced via
+    their raw key data.
     """
-    leaves = [
-        x
-        for x in jax.tree_util.tree_leaves(tree)
-        if isinstance(x, jax.Array) and x.size
-    ]
+    leaves = []
+    for x in jax.tree_util.tree_leaves(tree):
+        if not (isinstance(x, jax.Array) and x.size):
+            continue
+        if not isinstance(x.dtype, jnp.dtype):  # extended dtype (PRNG keys)
+            try:
+                x = jax.random.key_data(x)
+            except Exception:
+                continue
+        leaves.append(x)
     if not leaves:
+        # Nothing we can build a readback token from: fall back to a
+        # best-effort block so the caller still gets *some* fence rather
+        # than silently measuring dispatch time only.
+        jax.block_until_ready(tree)
         return tree
-    tok = functools.reduce(
-        lambda a, b: a + b,
-        [jnp.ravel(x)[0].astype(jnp.float32) for x in leaves],
-    )
-    jax.device_get(tok)
+    # One tiny slice per leaf, fetched in a single device_get transfer.
+    jax.device_get([jnp.ravel(x)[0] for x in leaves])
     return tree
 
 
