@@ -154,6 +154,9 @@ class FrontendConfig:
     desc_net_channel: int = 64
     desc_net_depth: int = 3
     desc_conv_ksize: int = 3
+    # normalization: "gn" (train-from-scratch default) or "bn" (frozen
+    # batch-norm stats, for TF1-checkpoint-ported weights — port_tf1.py)
+    norm: str = "gn"
     # classical frontend
     harris_k: float = 0.04
     harris_sigma: float = 1.0

@@ -43,22 +43,51 @@ from bundletrack_tpu.frontend.detector_ops import (
 from bundletrack_tpu.frontend.interface import FrontendOutput
 
 
+class FrozenBN(nn.Module):
+    """Inference-mode batch norm with ported running statistics.
+
+    Matches the reference's tf.nn.batch_normalization(inputs, moving_mean,
+    moving_var, beta, gamma, 1e-3) (reference common/tf_layer_utils.py:130)
+    so TF1-checkpoint-ported weights reproduce the original network
+    tensor-for-tensor.  Stats/affine live in the param tree (filled by
+    frontend/port_tf1.py; identity-initialized otherwise).
+    """
+
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mean = self.param("mean", nn.initializers.zeros, (c,))
+        var = self.param("var", nn.initializers.ones, (c,))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+def _make_norm(kind: str, name: str):
+    if kind == "bn":
+        return FrozenBN(name=name)
+    return nn.GroupNorm(num_groups=1, name=name)
+
+
 class ResBlock(nn.Module):
     """Pre-activation residual block (reference building_block,
     mso_resnet_detector.py:10-62)."""
 
     channels: int
     ksize: int = 3
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=1)(x)
+        h = _make_norm(self.norm, "pre_norm")(x)
         h = nn.relu(h)
         shortcut = x
-        h = nn.Conv(self.channels, (self.ksize, self.ksize))(h)
-        h = nn.GroupNorm(num_groups=1)(h)
+        h = nn.Conv(self.channels, (self.ksize, self.ksize), name="conv1")(h)
+        h = _make_norm(self.norm, "mid_norm")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.channels, (self.ksize, self.ksize))(h)
+        h = nn.Conv(self.channels, (self.ksize, self.ksize), name="conv2")(h)
         return h + shortcut
 
 
@@ -71,6 +100,7 @@ class MSODetector(nn.Module):
     num_scales: int = 5
     min_scale: float = 0.5
     max_scale: float = 2.0
+    norm: str = "gn"
 
     def scale_factors(self) -> np.ndarray:
         if self.num_scales == 1:
@@ -86,8 +116,10 @@ class MSODetector(nn.Module):
         B, H, W, _ = photos.shape
         x = nn.Conv(self.channels, (self.ksize, self.ksize), name="init_conv")(photos)
         for i in range(self.num_blocks):
-            x = ResBlock(self.channels, self.ksize, name=f"block_{i+1}")(x)
-        x = nn.GroupNorm(num_groups=1)(x)
+            x = ResBlock(
+                self.channels, self.ksize, norm=self.norm, name=f"block_{i+1}"
+            )(x)
+        x = _make_norm(self.norm, "final_norm")(x)
         feat_maps = nn.relu(x)
 
         score_maps = []
@@ -121,6 +153,7 @@ class SimpleDesc(nn.Module):
     init_channels: int = 64
     num_layers: int = 3
     ksize: int = 3
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, patches):  # [N, P, P, C]
@@ -132,11 +165,11 @@ class SimpleDesc(nn.Module):
                 strides=(2, 2),
                 name=f"conv{i+1}",
             )(x)
-            x = nn.GroupNorm(num_groups=1)(x)
+            x = _make_norm(self.norm, f"norm{i+1}")(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(512, name="fc1")(x)
-        x = nn.GroupNorm(num_groups=1)(x)
+        x = _make_norm(self.norm, "fc1_norm")(x)
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, name="fc2")(x)
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6)
@@ -160,12 +193,14 @@ class LFNet(nn.Module):
             num_scales=c.net_num_scales,
             min_scale=c.net_min_scale,
             max_scale=c.net_max_scale,
+            norm=c.norm,
         )
         self.descriptor = SimpleDesc(
             out_dim=c.desc_dim,
             init_channels=c.desc_net_channel,
             num_layers=c.desc_net_depth,
             ksize=c.desc_conv_ksize,
+            norm=c.norm,
         )
 
     def describe_patches(self, patches):
