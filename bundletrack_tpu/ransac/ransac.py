@@ -125,6 +125,150 @@ def _count_inliers_bilinear(
     return jnp.sum(inl, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Structure-of-arrays trial pipeline.
+#
+# Per-trial quantities live as separate [T]-shaped component arrays (lane
+# dimension = trials) instead of [T, 3]/[T, 3, 3]/[T, 4, 4] tensors whose
+# 3- and 4-wide trailing dims waste ~97% of the 128 VPU lanes.  The whole
+# fit + gate + trial-feature chain is elementwise over [T], so under the
+# pair vmap it runs as dense [P, T] vector ops.
+# ---------------------------------------------------------------------------
+
+
+def _soa_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _soa_sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _soa_cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _soa_normalize(a, eps=1e-12):
+    inv = jax.lax.rsqrt(jnp.maximum(_soa_dot(a, a), eps))
+    return (a[0] * inv, a[1] * inv, a[2] * inv), _soa_dot(a, a)
+
+
+def _soa_frame(p0, p1, p2):
+    """Orthonormal frame rows (n1, n2, n3) + squared triangle area x4."""
+    e1 = _soa_sub(p1, p0)
+    e2 = _soa_sub(p2, p0)
+    n1, _ = _soa_normalize(e1)
+    proj = _soa_dot(e2, n1)
+    e2p = (e2[0] - proj * n1[0], e2[1] - proj * n1[1], e2[2] - proj * n1[2])
+    n2, _ = _soa_normalize(e2p)
+    n3 = _soa_cross(n1, n2)
+    area_sq = _soa_dot(_soa_cross(e1, e2), _soa_cross(e1, e2))
+    return (n1, n2, n3), area_sq
+
+
+def _soa_fit_trials(tri_a, tri_b):
+    """Closed-form rigid fit over 3-point samples, SoA form.
+
+    tri_a/tri_b: [T, 3, 8] gathered rows (xyz in channels 0:3 / 3:6).
+    Returns (R: tuple of 9 [T] arrays row-major, t: tuple of 3, ok [T]).
+    Math identical to geometry.procrustes.rigid_from_three_points.
+    """
+    pa = [tuple(tri_a[:, k, c] for c in range(3)) for k in range(3)]
+    pb = [tuple(tri_b[:, k, c] for c in range(3)) for k in range(3)]
+    Fa, area_a = _soa_frame(*pa)
+    Fb, area_b = _soa_frame(*pb)
+    # R = Fb^T @ Fa: R[i][j] = sum_k Fb[k][i] * Fa[k][j]
+    R = tuple(
+        Fb[0][i] * Fa[0][j] + Fb[1][i] * Fa[1][j] + Fb[2][i] * Fa[2][j]
+        for i in range(3)
+        for j in range(3)
+    )
+    third = 1.0 / 3.0
+    ca = tuple((pa[0][c] + pa[1][c] + pa[2][c]) * third for c in range(3))
+    cb = tuple((pb[0][c] + pb[1][c] + pb[2][c]) * third for c in range(3))
+    t = tuple(
+        cb[i] - (R[3 * i + 0] * ca[0] + R[3 * i + 1] * ca[1] + R[3 * i + 2] * ca[2])
+        for i in range(3)
+    )
+    ok = (area_a > 1e-20) & (area_b > 1e-20)
+    return R, t, ok
+
+
+def _soa_pose_gate(R, t, prior_ab, max_trans, max_rot_deg):
+    """Translation/rotation gate vs the prior, on SoA components.
+
+    |trans(prior^-1 T)| = |t - t_prior| (rotations preserve norms), and the
+    geodesic angle of R_prior^T R comes from its trace.
+    """
+    Rp = prior_ab[:3, :3]
+    tp = prior_ab[:3, 3]
+    dt = (t[0] - tp[0], t[1] - tp[1], t[2] - tp[2])
+    trans_ok = _soa_dot(dt, dt) < max_trans * max_trans
+    trace = sum(Rp[i, j] * R[3 * i + j] for i in range(3) for j in range(3))
+    cos_lim = jnp.cos(jnp.deg2rad(jnp.minimum(max_rot_deg, 179.9)))
+    rot_ok = (trace - 1.0) * 0.5 > cos_lim
+    return trans_ok & rot_ok
+
+
+def _soa_trial_features(R, t):
+    """F [26, T] matching _match_features' column order, from SoA R/t."""
+    rt = tuple(  # R^T t, component j
+        R[0 + j] * t[0] + R[3 + j] * t[1] + R[6 + j] * t[2] for j in range(3)
+    )
+    tt = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
+    ones = jnp.ones_like(t[0])
+    cols = (
+        [2.0 * rt[j] for j in range(3)]  # · pa
+        + [-2.0 * t[i] for i in range(3)]  # · pb
+        + [-2.0 * R[k] for k in range(9)]  # · (pb pa^T)
+        + [ones, tt]  # · (|pa|^2+|pb|^2), · 1
+        + [R[k] for k in range(9)]  # · (nb na^T)
+    )
+    return jnp.stack(cols, axis=0)  # [26, T]
+
+
+def _soa_count_inliers(F, G, match_valid, inlier_dist, cos_normal):
+    """[T] inlier counts: G [M, 26] x F [26, T] on the MXU (f32)."""
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d2 = dot(G[:, :17], F[:17])  # [M, T]
+    cos = dot(G[:, 17:], F[17:])
+    inl = (
+        (d2 < inlier_dist * inlier_dist)
+        & (cos > cos_normal)
+        & match_valid[:, None]
+    )
+    return jnp.sum(inl, axis=0)
+
+
+def _soa_best_pose(R, t, best):
+    """Assemble the winning trial's [4, 4] matrix from SoA components."""
+    rows = jnp.stack(
+        [
+            jnp.stack([R[0][best], R[1][best], R[2][best], t[0][best]]),
+            jnp.stack([R[3][best], R[4][best], R[5][best], t[1][best]]),
+            jnp.stack([R[6][best], R[7][best], R[8][best], t[2][best]]),
+            jnp.stack(
+                [
+                    jnp.zeros_like(t[0][best]),
+                    jnp.zeros_like(t[0][best]),
+                    jnp.zeros_like(t[0][best]),
+                    jnp.ones_like(t[0][best]),
+                ]
+            ),
+        ]
+    )
+    return rows
+
+
 def ransac_pair(
     key: jax.Array,
     pts_a: jnp.ndarray,  # [M, 3] camera-frame points of matched kpts in A
@@ -149,8 +293,13 @@ def ransac_pair(
 
     # --- sample [T, 3] match indices among valid slots -------------------
     # Sample uniformly over valid matches: draw from [0, num_valid) and map
-    # through the sorted-valid index list.
-    order = jnp.argsort(~match_valid)  # valid slots first
+    # through a valid-first slot list.  The list comes from a cumsum +
+    # size-M scatter (O(M) work) instead of argsort(~valid) — a vmapped
+    # bitonic sort per pair was a measured hot spot at P=120.
+    iota_m = jnp.arange(M, dtype=jnp.int32)
+    cnt = jnp.cumsum(match_valid.astype(jnp.int32))
+    pos = jnp.where(match_valid, cnt - 1, num_valid + (iota_m - (cnt - 0)))
+    order = jnp.zeros((M,), jnp.int32).at[pos].set(iota_m, mode="drop")
     raw = jax.random.randint(
         key, (num_trials, 3), 0, jnp.maximum(num_valid, 1), dtype=jnp.int32
     )
@@ -161,26 +310,28 @@ def ransac_pair(
         & (samples[:, 1] != samples[:, 2])
     )
 
-    tri_a = pts_a[samples]  # [T, 3, 3]
-    tri_b = pts_b[samples]
-    T_ab, tri_ok = rigid_from_three_points(tri_a, tri_b)
+    # --- gather the 3-point triangles -------------------------------------
+    # One packed sublane gather ([M, 8] rows: a.xyz | b.xyz | pad) instead of
+    # two 12-byte-row gathers from [M, 3] tables: wider rows halve the
+    # gather count and ride the fast row-gather path.
+    packed = jnp.concatenate(
+        [pts_a, pts_b, jnp.zeros((M, 2), pts_a.dtype)], axis=-1
+    )  # [M, 8]
+    g = jnp.take(packed, samples.reshape(-1), axis=0).reshape(num_trials, 3, 8)
 
-    # --- model gate vs prior relative pose (reference max_trans/max_rot) --
-    rel = _mm(se3_inverse(prior_ab), T_ab)
-    trans_ok = jnp.linalg.norm(rel[:, :3, 3], axis=-1) < max_trans
-    rot_ok = rotation_geodesic_distance(
-        prior_ab[None, :3, :3], T_ab[:, :3, :3]
-    ) < jnp.deg2rad(max_rot_deg)
-    model_ok = tri_ok & distinct & trans_ok & rot_ok
+    # --- fit + gate + score, all in SoA [T]-component form -----------------
+    R, t, tri_ok = _soa_fit_trials(g[..., 0:3], g[..., 3:6])
+    gate_ok = _soa_pose_gate(R, t, prior_ab, max_trans, max_rot_deg)
+    model_ok = tri_ok & distinct & gate_ok
 
-    # --- score all trials: one bilinear MXU contraction --------------------
     G = _match_features(pts_a, pts_b, normals_a, normals_b)  # [M, 26]
-    counts = _count_inliers_bilinear(
-        T_ab, G, match_valid, inlier_dist, cos_normal
+    F = _soa_trial_features(R, t)  # [26, T]
+    counts = _soa_count_inliers(
+        F, G, match_valid, inlier_dist, cos_normal
     ) * model_ok.astype(jnp.int32)
 
     best = jnp.argmax(counts)
-    best_pose = T_ab[best]
+    best_pose = _soa_best_pose(R, t, best)
     best_inl = _score_model(
         best_pose[None],
         pts_a,
