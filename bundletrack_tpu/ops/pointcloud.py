@@ -70,3 +70,59 @@ def downsample_nearest(img: jnp.ndarray, factor: int) -> jnp.ndarray:
     if img.ndim >= 3 and img.shape[-1] in (1, 2, 3, 4):  # channel-last
         return img[..., ::factor, ::factor, :]
     return img[..., ::factor, ::factor]
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) cloud utilities — model clouds at load time, not hot path
+# ---------------------------------------------------------------------------
+
+
+def voxel_downsample(points, voxel_size: float):
+    """Voxel-grid downsample an [N, 3] cloud to per-voxel centroids.
+
+    Equivalent of the reference's PCL VoxelGrid wrapper
+    Utils::downsamplePointCloud (src/Utils.cpp:133-141), used on object-model
+    clouds at dataset load (src/DataLoader.cpp:92,316 with vox_size=0.015).
+    Host numpy: runs once per sequence, off the accelerator.
+    """
+    import numpy as np
+
+    pts = np.asarray(points, np.float64)
+    if len(pts) == 0:
+        return pts.astype(np.float32)
+    keys = np.floor(pts / voxel_size).astype(np.int64)
+    # lexicographic voxel id -> group by sorting
+    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    keys_s = keys[order]
+    pts_s = pts[order]
+    new_group = np.any(np.diff(keys_s, axis=0) != 0, axis=1)
+    starts = np.concatenate([[0], np.nonzero(new_group)[0] + 1])
+    sums = np.add.reduceat(pts_s, starts, axis=0)
+    counts = np.diff(np.concatenate([starts, [len(pts_s)]]))
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def statistical_outlier_removal(points, num_neighbors: int = 30, std_mul: float = 3.0):
+    """Drop points whose mean k-NN distance exceeds mean + std_mul * std.
+
+    Equivalent of PCL StatisticalOutlierRemoval (reference includes the
+    filter, src/Utils.h:106; configured by depth_processing.outlier_removal
+    {num, std_mul}, config_ycbineoat.yml:18-20).  Host numpy, brute-force —
+    intended for model clouds / offline cleanup, not the per-frame path.
+
+    Returns (filtered_points, keep_mask).
+    """
+    import numpy as np
+
+    pts = np.asarray(points, np.float32)
+    n = len(pts)
+    if n <= num_neighbors:
+        return pts, np.ones(n, bool)
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    k = min(num_neighbors, n - 1)
+    knn = np.sqrt(np.partition(d2, k - 1, axis=1)[:, :k])
+    mean_d = knn.mean(axis=1)
+    mu, sd = mean_d.mean(), mean_d.std()
+    keep = mean_d <= mu + std_mul * sd
+    return pts[keep], keep
