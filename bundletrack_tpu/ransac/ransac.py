@@ -14,7 +14,9 @@ Design (not a port):
     (geometry.procrustes.rigid_from_three_points) — branch-free VPU math.
   * curand -> threefry (jax.random), deterministic by construction (the
     reference seeds curand with 0 intending determinism, but its atomics
-    race; here determinism is exact).
+    race; here determinism is exact).  Trials come from a permute+roll
+    combinatorial design (see ransac_pair) so the [T, 3] sample gather —
+    the measured hot spot — disappears entirely.
   * Trials are evaluated in chunks with lax.map to bound the [P, T, M]
     intermediate to [P, Tc, M] in VMEM/HBM.
   * The model gate (max translation / rotation vs the relative pose prior)
@@ -291,33 +293,71 @@ def ransac_pair(
     num_valid = jnp.sum(match_valid)
     cos_normal = jnp.cos(jnp.deg2rad(inlier_normal_deg))
 
-    # --- sample [T, 3] match indices among valid slots -------------------
-    # Sample uniformly over valid matches: draw from [0, num_valid) and map
-    # through a valid-first slot list.  The list comes from a cumsum +
-    # size-M scatter (O(M) work) instead of argsort(~valid) — a vmapped
-    # bitonic sort per pair was a measured hot spot at P=120.
+    # --- trial triangles without per-trial gathers -------------------------
+    # The obvious scheme (randint [T, 3] -> gather 3T rows) costs ~6000
+    # dynamic row-gathers per pair per call and was the measured hot spot of
+    # the whole tracking step at P=120, T=2000.  Instead, trials come from a
+    # combinatorial design that needs only THREE M-row gathers total:
+    #
+    #   vertex tables  tbl_k[j] = packed[fill[pi_k[(j + b_k) mod M]]]
+    #   trial (r, j)   = (tbl_1[j], tbl_2[j + c_r], tbl_3[j + d_r])
+    #
+    # where pi_k are fixed shuffles (baked numpy constants), b_k are
+    # per-call random phases (the only PRNG draw: 3 ints), fill cycles the
+    # valid-first order list to all M slots, and c_r/d_r are fixed per-repeat
+    # offsets — so the [T, 3, 8] trial tensor materializes as broadcasts and
+    # STATIC rolls (pure vector copies, no dynamic indexing).  Marginals stay
+    # uniform over valid matches; triples are distinct by construction up to
+    # fill-duplication, which the `distinct` flag (match id carried in
+    # channel 6) rejects exactly like collision rejection in iid sampling.
+    # The reference draws iid triples with curand per CUDA thread
+    # (cuda_ransac.cu:1145-1181); RANSAC only needs uniform coverage, not
+    # iid-ness, so the design trade is free.
+    import numpy as np
+
     iota_m = jnp.arange(M, dtype=jnp.int32)
     cnt = jnp.cumsum(match_valid.astype(jnp.int32))
-    pos = jnp.where(match_valid, cnt - 1, num_valid + (iota_m - (cnt - 0)))
+    pos = jnp.where(match_valid, cnt - 1, num_valid + (iota_m - cnt))
     order = jnp.zeros((M,), jnp.int32).at[pos].set(iota_m, mode="drop")
-    raw = jax.random.randint(
-        key, (num_trials, 3), 0, jnp.maximum(num_valid, 1), dtype=jnp.int32
-    )
-    samples = order[raw]  # [T, 3]
-    distinct = (
-        (samples[:, 0] != samples[:, 1])
-        & (samples[:, 0] != samples[:, 2])
-        & (samples[:, 1] != samples[:, 2])
-    )
+    fill = jnp.take(order, jnp.remainder(iota_m, jnp.maximum(num_valid, 1)))
 
-    # --- gather the 3-point triangles -------------------------------------
-    # One packed sublane gather ([M, 8] rows: a.xyz | b.xyz | pad) instead of
-    # two 12-byte-row gathers from [M, 3] tables: wider rows halve the
-    # gather count and ride the fast row-gather path.
+    n_rep = -(-num_trials // M)  # ceil; T_eff = n_rep * M >= num_trials
+    pis = [
+        np.random.RandomState(1000 + k).permutation(M).astype(np.int32)
+        for k in range(3)
+    ]
+    offs = np.random.RandomState(77).randint(1, max(M, 2), size=(2, n_rep))
+    b = jax.random.randint(key, (3,), 0, M, dtype=jnp.int32)
+
     packed = jnp.concatenate(
-        [pts_a, pts_b, jnp.zeros((M, 2), pts_a.dtype)], axis=-1
+        [
+            pts_a,
+            pts_b,
+            iota_m[:, None].astype(pts_a.dtype),  # match id for distinctness
+            jnp.zeros((M, 1), pts_a.dtype),
+        ],
+        axis=-1,
     )  # [M, 8]
-    g = jnp.take(packed, samples.reshape(-1), axis=0).reshape(num_trials, 3, 8)
+    tbl = [
+        jnp.take(
+            packed,
+            jnp.take(fill, jnp.take(jnp.asarray(pis[k]), (iota_m + b[k]) % M)),
+            axis=0,
+        )
+        for k in range(3)
+    ]  # 3 x [M, 8]
+    tri1 = jnp.broadcast_to(tbl[0][None], (n_rep, M, 8)).reshape(n_rep * M, 8)
+    tri2 = jnp.concatenate(
+        [jnp.roll(tbl[1], -int(offs[0, r]), axis=0) for r in range(n_rep)], axis=0
+    )
+    tri3 = jnp.concatenate(
+        [jnp.roll(tbl[2], -int(offs[1, r]), axis=0) for r in range(n_rep)], axis=0
+    )
+    g = jnp.stack([tri1, tri2, tri3], axis=1)  # [T_eff, 3, 8]
+    ids = g[..., 6]
+    distinct = (
+        (ids[:, 0] != ids[:, 1]) & (ids[:, 0] != ids[:, 2]) & (ids[:, 1] != ids[:, 2])
+    )
 
     # --- fit + gate + score, all in SoA [T]-component form -----------------
     R, t, tri_ok = _soa_fit_trials(g[..., 0:3], g[..., 3:6])
