@@ -29,21 +29,17 @@ def main():
     H, W = 480, 640
     cfg = TrackerConfig(shapes=ShapeConfig(image_h=H, image_w=W))
 
-    n_frames = 24
+    n_frames = 52
     seq = render_synthetic_sequence(
         num_frames=n_frames, H=H, W=W, orbit_deg_per_frame=2.0
     )
     init_pose = np.linalg.inv(seq.ob_in_cam[0])
+    # stream raw sensor formats (u8 gray, u16 mm depth) like a real camera;
+    # dtype conversion runs on device fused into the step
+    gray_u8 = (seq.gray * 255.0 + 0.5).astype(np.uint8)
+    depth_u16 = (seq.depth * 1000.0 + 0.5).astype(np.uint16)
 
     tracker = Tracker(cfg, H, W)
-
-    def frame_obs(f):
-        return (
-            jnp.asarray(seq.gray[f]),
-            jnp.asarray(seq.depth[f]),
-            jnp.asarray(seq.mask[f]),
-            jnp.asarray(seq.K),
-        )
 
     from bundletrack_tpu.utils.timing import hard_sync
 
@@ -51,14 +47,14 @@ def main():
     n_warm = 4
     for f in range(n_warm):
         out = tracker.process_frame(
-            seq.gray[f], seq.depth[f], seq.mask[f], seq.K, init_pose=init_pose
+            gray_u8[f], depth_u16[f], seq.mask[f], seq.K, init_pose=init_pose
         )
     hard_sync(out)
 
     t0 = time.perf_counter()
     for f in range(n_warm, n_frames):
         out = tracker.process_frame(
-            seq.gray[f], seq.depth[f], seq.mask[f], seq.K, init_pose=init_pose
+            gray_u8[f], depth_u16[f], seq.mask[f], seq.K, init_pose=init_pose
         )
     # tracker state chains frame->frame, so a host readback of the last
     # output fences every frame's device work (block_until_ready is not a

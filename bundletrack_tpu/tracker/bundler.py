@@ -53,6 +53,28 @@ from bundletrack_tpu.tracker.state import (
 from bundletrack_tpu.matching.mappoints import forget_frame as forget_frame_mappoints
 
 
+def _normalize_obs(obs: FrameObservation) -> FrameObservation:
+    """Accept raw sensor dtypes and convert ON DEVICE.
+
+    Host->device bandwidth is the binding constraint for streaming frames
+    (the tunnel moves ~0.4 GB/s), so the driver ships gray as uint8 and depth
+    as uint16 millimeters (1.2 MB/frame instead of 2.7) and the conversion
+    runs fused into the step — the reference does the same: it uploads raw
+    images and converts on the GPU (src/Frame.cpp:68-70,107-148;
+    readDepthImage mm->m, src/Utils.cpp:49-68)."""
+    gray = obs.gray
+    if gray.dtype == jnp.uint8:
+        gray = gray.astype(jnp.float32) * (1.0 / 255.0)
+    depth = obs.depth
+    if depth.dtype == jnp.uint16:
+        depth = depth.astype(jnp.float32) * 1e-3
+    return obs._replace(
+        gray=gray.astype(jnp.float32),
+        depth=depth.astype(jnp.float32),
+        mask=obs.mask.astype(bool),
+    )
+
+
 def _preprocess(obs: FrameObservation, cfg: TrackerConfig):
     """Depth chain + cloud/normals + low-res cache (reference Frame ctor +
     CUDACache::storeFrame)."""
@@ -97,6 +119,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
     def step(
         state: TrackerState, obs: FrameObservation, init_pose: jnp.ndarray
     ):
+        obs = _normalize_obs(obs)
         (
             depth,
             mask,

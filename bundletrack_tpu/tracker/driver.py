@@ -52,9 +52,11 @@ class Tracker:
         K: np.ndarray,
         init_pose: Optional[np.ndarray] = None,
     ):
+        # raw dtypes (u8 gray / u16 mm depth) ship as-is and convert on
+        # device — host->device bandwidth is the streaming bottleneck
         obs = FrameObservation(
-            gray=jnp.asarray(gray, jnp.float32),
-            depth=jnp.asarray(depth, jnp.float32),
+            gray=jnp.asarray(gray),
+            depth=jnp.asarray(depth),
             mask=jnp.asarray(mask, bool),
             K=jnp.asarray(K, jnp.float32),
         )
