@@ -74,7 +74,13 @@ def main(argv=None):
     t_start = time.perf_counter()
     for i in range(n):
         fd = loader[i]
-        out = tracker.process_frame(fd.gray, fd.depth, fd.mask, loader.K, init_pose)
+        # stream raw dtypes when the loader provides them (fewer bytes over
+        # the host->device link; conversion runs on device)
+        gray = fd.gray_u8 if getattr(fd, "gray_u8", None) is not None else fd.gray
+        depth = (
+            fd.depth_u16 if getattr(fd, "depth_u16", None) is not None else fd.depth
+        )
+        out = tracker.process_frame(gray, depth, fd.mask, loader.K, init_pose)
         np.savetxt(
             os.path.join(out_dir, "poses", f"{fd.frame_id}.txt"),
             np.asarray(out.ob_in_cam),

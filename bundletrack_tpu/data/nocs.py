@@ -115,10 +115,14 @@ class NocsLoader:
 
                 m = read_png(p)
                 mask = (m[..., 0] if m.ndim == 3 else m) > 0
+        from bundletrack_tpu.data.ycbineoat import _to_gray_u8
+
         return FrameData(
             gray=_to_gray(color),
             color=color,
             depth=depth,
             mask=mask,
             frame_id=self.ids[idx],
+            gray_u8=_to_gray_u8(color),
+            depth_u16=depth_raw.astype(np.uint16),
         )

@@ -25,6 +25,8 @@ class FrameData(NamedTuple):
     depth: np.ndarray  # [H, W] float32 meters
     mask: np.ndarray  # [H, W] bool
     frame_id: str
+    gray_u8: Optional[np.ndarray] = None  # [H, W] uint8 (raw streaming path)
+    depth_u16: Optional[np.ndarray] = None  # [H, W] uint16 mm (raw path)
 
 
 def _to_gray(color: np.ndarray) -> np.ndarray:
@@ -34,6 +36,18 @@ def _to_gray(color: np.ndarray) -> np.ndarray:
     # reference images are BGR via cv::imread; luma weights are symmetric
     # enough for the detector — use Rec.601 on channel order as stored.
     return 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
+
+
+def _to_gray_u8(color: np.ndarray) -> np.ndarray:
+    """Integer Rec.601 luma — the uint8 frame the tracker streams to the
+    device (dtype conversion happens on device; see tracker/bundler.py
+    _normalize_obs)."""
+    if color.ndim == 2:
+        return color.astype(np.uint8)
+    c = color.astype(np.uint16)
+    return ((77 * c[..., 0] + 150 * c[..., 1] + 29 * c[..., 2]) >> 8).astype(
+        np.uint8
+    )
 
 
 class YcbineoatLoader:
@@ -105,4 +119,6 @@ class YcbineoatLoader:
             depth=depth,
             mask=mask,
             frame_id=self.ids[idx],
+            gray_u8=_to_gray_u8(color),
+            depth_u16=depth_raw.astype(np.uint16),
         )
