@@ -77,11 +77,14 @@ def update_mappoints(
     rev = rev.at[slot_i, jnp.where(has_b, ia, N)].set(lm_b, mode="drop")
 
     # --- allocate new landmarks ----------------------------------------
+    from bundletrack_tpu.ops.prefix import prefix_sum_1d
+
     free = ~jnp.any(obs >= 0, axis=-1)  # [L]
-    # rank of each free row among free rows (0-based)
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    # rank of each free row among free rows (0-based); MXU prefix sums —
+    # jnp.cumsum lowers to a slow reduce-window on TPU
+    free_rank = prefix_sum_1d(free) - 1
     # rank of each fresh match among fresh matches
-    fresh_rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1  # [M]
+    fresh_rank = prefix_sum_1d(fresh) - 1  # [M]
     # landmark row assigned to fresh match m: the (fresh_rank[m])-th free row
     # Build mapping rank -> row index via scatter.
     rank_to_row = jnp.full((L + 1,), L, jnp.int32)

@@ -315,8 +315,10 @@ def ransac_pair(
     # iid-ness, so the design trade is free.
     import numpy as np
 
+    from bundletrack_tpu.ops.prefix import prefix_sum_last
+
     iota_m = jnp.arange(M, dtype=jnp.int32)
-    cnt = jnp.cumsum(match_valid.astype(jnp.int32))
+    cnt = prefix_sum_last(match_valid)  # MXU; cumsum is a TPU hot spot
     pos = jnp.where(match_valid, cnt - 1, num_valid + (iota_m - cnt))
     order = jnp.zeros((M,), jnp.int32).at[pos].set(iota_m, mode="drop")
     fill = jnp.take(order, jnp.remainder(iota_m, jnp.maximum(num_valid, 1)))

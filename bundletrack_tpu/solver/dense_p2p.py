@@ -15,11 +15,14 @@ Performance design (measured on TPU; see benchmarks/profile_dense_micro.py):
 
 * The projective-association gather dominates — TPU gathers cost ~3-7 ns per
   index regardless of payload, so the fix is *fewer, narrower* indices:
-  - **Source-pixel compaction** (once per solve, not per GN iteration): only
-    masked/valid low-res pixels enter the term.  Valid pixels are decimated
-    evenly to a fixed capacity C, replacing [P, H*W] planes with [P, C].
-    The reference similarly bounds dense residuals per pair (residual buffer
-    sized H·W/4, src/cuda/LossGPU.cu:102).
+  - **Source-pixel compaction** (once per FRAME at keyframe admission —
+    compact_frame / FrameDense — mirroring CUDACache::storeFrame's
+    preprocess-on-insert, src/cuda/CUDACache.cpp:76-88; the batched
+    compact_dense_frames covers standalone solves): only masked/valid
+    low-res pixels enter the term.  Valid pixels are decimated evenly to a
+    fixed capacity C, replacing [P, H*W] planes with [P, C].  The reference
+    similarly bounds dense residuals per pair (residual buffer sized H·W/4,
+    src/cuda/LossGPU.cu:102).
   - **Single direction per pair** like the reference (halves the gathers).
   - **One bf16 8-channel table** per target frame: depth split hi/lo into
     two bf16 (recombined exactly to ~2^-16 relative), normals, validity.
@@ -86,6 +89,101 @@ class CompactDense(NamedTuple):
     cchan: jnp.ndarray | None = None
 
 
+class FrameDense(NamedTuple):
+    """Solve-ready dense-term data for ONE frame, built at admission time.
+
+    The reference preprocesses each frame once when it enters the BA cache
+    (CUDACache::storeFrame, src/cuda/CUDACache.cpp:76-88), not per solve;
+    storing these in the keyframe pool moves the compaction scatter/cumsum
+    out of the per-frame hot path entirely.
+
+    src:   [6, C] f32 planes (sx, sy, sz, snx, sny, snz), evenly decimated
+           valid low-res pixels.
+    valid: [C] bool
+    lin:   [C] int32 original linear pixel index (photometric term)
+    tchan: [H, W, 8] bf16 gather table (z_hi, z_lo, nx, ny, nz, valid, 0, 0)
+    """
+
+    src: jnp.ndarray
+    valid: jnp.ndarray
+    lin: jnp.ndarray
+    tchan: jnp.ndarray
+
+
+from bundletrack_tpu.ops.prefix import prefix_sum_1d as _prefix_sum_mxu
+
+
+def compact_frame(
+    points: jnp.ndarray,  # [H, W, 3]
+    normals: jnp.ndarray,  # [H, W, 3]
+    valid: jnp.ndarray,  # [H, W] bool
+    capacity: int,
+) -> FrameDense:
+    """Single-frame compaction + gather-table packing (see FrameDense)."""
+    Hh, Ww = valid.shape
+    N = Hh * Ww
+    C = min(N, capacity)
+
+    val = valid.reshape(N)
+    cnt = _prefix_sum_mxu(val)
+    count = cnt[-1]
+    rank = cnt - 1
+    slot = jnp.where(val, rank, N)
+    idx_by_rank = (
+        jnp.zeros((N + 1,), jnp.int32)
+        .at[slot]
+        .set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+    )
+    c = jnp.arange(C, dtype=jnp.int32)
+    sel_rank = jnp.where(count > C, (c * count) // C, c)
+    sel_idx = idx_by_rank[jnp.minimum(sel_rank, N - 1)]
+    sel_valid = c < jnp.minimum(count, C)
+
+    pf = points.reshape(N, 3)
+    nf = normals.reshape(N, 3)
+    zero = jnp.where(sel_valid, 1.0, 0.0)
+    src = jnp.stack(
+        [
+            jnp.take(pf[:, 0], sel_idx), jnp.take(pf[:, 1], sel_idx),
+            jnp.take(pf[:, 2], sel_idx),
+            jnp.take(nf[:, 0], sel_idx), jnp.take(nf[:, 1], sel_idx),
+            jnp.take(nf[:, 2], sel_idx),
+        ]
+    ) * zero[None]  # [6, C]
+
+    z = jnp.where(valid, points[..., 2], 0.0)
+    z_hi = z.astype(jnp.bfloat16)
+    z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tchan = jnp.stack(
+        [
+            z_hi, z_lo,
+            normals[..., 0].astype(jnp.bfloat16),
+            normals[..., 1].astype(jnp.bfloat16),
+            normals[..., 2].astype(jnp.bfloat16),
+            valid.astype(jnp.bfloat16),
+            jnp.zeros_like(z_hi), jnp.zeros_like(z_hi),
+        ],
+        axis=-1,
+    )  # [H, W, 8]
+    return FrameDense(src=src, valid=sel_valid, lin=sel_idx, tchan=tchan)
+
+
+def stack_frame_dense(
+    src: jnp.ndarray,  # [K, 6, C]
+    valid: jnp.ndarray,  # [K, C]
+    lin: jnp.ndarray,  # [K, C]
+    tchan: jnp.ndarray,  # [K, H, W, 8]
+) -> CompactDense:
+    """Assemble per-frame FrameDense stacks into solver CompactDense."""
+    return CompactDense(
+        src=jnp.transpose(src, (1, 0, 2)),  # [6, K, C]
+        src_valid=valid,
+        src_lin=lin,
+        tchan=tchan,
+        cchan=None,
+    )
+
+
 def compact_dense_frames(
     frames: DenseFrames, capacity: int | None = None, with_color: bool = False
 ) -> CompactDense:
@@ -100,8 +198,9 @@ def compact_dense_frames(
     nf = frames.normals.reshape(Kf, N, 3)
 
     def select(valid_k):  # [N] bool -> (sel_idx [C], sel_valid [C])
-        count = jnp.sum(valid_k.astype(jnp.int32))
-        rank = jnp.cumsum(valid_k.astype(jnp.int32)) - 1  # [N]
+        cnt = _prefix_sum_mxu(valid_k)
+        count = cnt[-1]
+        rank = cnt - 1  # [N]
         # pixel index for each rank (invalid pixels dropped via clamp slot N)
         slot = jnp.where(valid_k, rank, N)
         idx_by_rank = (

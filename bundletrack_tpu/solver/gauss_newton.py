@@ -46,6 +46,10 @@ class GraphInputs(NamedTuple):
     corres: SparseCorres
     dense: Optional[DenseFrames] = None
     K_lowres: Optional[jnp.ndarray] = None
+    # pre-compacted dense-term tables (built once per frame at keyframe
+    # admission, CUDACache::storeFrame-style); when set, `dense` is ignored
+    # and the per-solve compaction is skipped entirely
+    dense_compact: Optional[CompactDense] = None
 
 
 def _apply_gauge(H, g, free):
@@ -98,9 +102,11 @@ def build_normal_equations(
         robust_delta=cfg.robust_delta,
         weight=cfg.w_sparse,
     )
-    use_dense = inputs.dense is not None and (
-        cfg.w_dense_depth > 0.0 or cfg.w_dense_color > 0.0
-    )
+    if dense_compact is None:
+        dense_compact = inputs.dense_compact
+    use_dense = (
+        dense_compact is not None or inputs.dense is not None
+    ) and (cfg.w_dense_depth > 0.0 or cfg.w_dense_color > 0.0)
     if use_dense:
         if dense_compact is None:
             dense_compact = compact_dense_frames(
@@ -132,18 +138,19 @@ def optimize_pose_graph(inputs: GraphInputs, cfg, p2p_cfg=None):
     lm_lambda, solver_backend, w_sparse/w_dense_depth).
     """
 
-    use_dense = inputs.dense is not None and (
-        cfg.w_dense_depth > 0.0 or cfg.w_dense_color > 0.0
-    )
-    dense_compact = (
-        compact_dense_frames(
+    use_dense = (
+        inputs.dense_compact is not None or inputs.dense is not None
+    ) and (cfg.w_dense_depth > 0.0 or cfg.w_dense_color > 0.0)
+    if not use_dense:
+        dense_compact = None
+    elif inputs.dense_compact is not None:
+        dense_compact = inputs.dense_compact
+    else:
+        dense_compact = compact_dense_frames(
             inputs.dense,
             capacity=cfg.dense_src_capacity,
             with_color=cfg.w_dense_color > 0.0,
         )
-        if use_dense
-        else None
-    )
 
     def outer(it, carry):
         poses, _ = carry

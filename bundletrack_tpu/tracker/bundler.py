@@ -34,7 +34,11 @@ from bundletrack_tpu.ransac.ransac import (
     ransac_pair,
     refine_pose_on_inliers,
 )
-from bundletrack_tpu.solver.dense_p2p import DenseFrames
+from bundletrack_tpu.solver.dense_p2p import (
+    DenseFrames,
+    compact_frame,
+    stack_frame_dense,
+)
 from bundletrack_tpu.solver.gauss_newton import GraphInputs, optimize_pose_graph
 from bundletrack_tpu.solver.residuals import SparseCorres
 from bundletrack_tpu.tracker.selection import (
@@ -76,18 +80,22 @@ def _normalize_obs(obs: FrameObservation) -> FrameObservation:
 
 
 def _preprocess(obs: FrameObservation, cfg: TrackerConfig):
-    """Depth chain + cloud/normals + low-res cache (reference Frame ctor +
-    CUDACache::storeFrame)."""
+    """Depth chain + cloud/normals + solve-ready dense tables (reference
+    Frame ctor + CUDACache::storeFrame — each frame's low-res geometry is
+    compacted ONCE here, never per solve)."""
     depth = process_depth(obs.depth, cfg.depth_processing)
     pts_map, nrm_map, val_map = depth_to_cloud_and_normals(depth, obs.K)
     mask = obs.mask & (depth > 0.1)
     val_map = val_map & obs.mask
     ds = cfg.bundle.image_downscale
-    pts_low = pts_map[::ds, ::ds]
-    nrm_low = nrm_map[::ds, ::ds]
-    val_low = val_map[::ds, ::ds]
+    fd = compact_frame(
+        pts_map[::ds, ::ds],
+        nrm_map[::ds, ::ds],
+        val_map[::ds, ::ds],
+        cfg.bundle.dense_src_capacity,
+    )
     K_low = scale_intrinsics(obs.K, 1.0 / ds)
-    return depth, mask, pts_map, nrm_map, val_map, pts_low, nrm_low, val_low, K_low
+    return depth, mask, pts_map, nrm_map, val_map, fd, K_low
 
 
 def _gather_match_points(ba_pts, ba_normals, pair_i, pair_j, matches):
@@ -120,17 +128,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
         state: TrackerState, obs: FrameObservation, init_pose: jnp.ndarray
     ):
         obs = _normalize_obs(obs)
-        (
-            depth,
-            mask,
-            pts_map,
-            nrm_map,
-            val_map,
-            pts_low,
-            nrm_low,
-            val_low,
-            K_low,
-        ) = _preprocess(obs, cfg)
+        depth, mask, pts_map, nrm_map, val_map, fd, K_low = _preprocess(obs, cfg)
 
         feats = extract_frame_features(
             obs.gray, mask, pts_map, nrm_map, val_map, cfg.frontend, lfnet_apply
@@ -144,10 +142,10 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
         def first_frame(_):
             pose0 = init_pose
             new_state = _admit_keyframe(
-                state, feats, pose0, pts_low, nrm_low, val_low,
+                state, feats, pose0, fd,
                 frame_id=jnp.asarray(0, jnp.int32),
             )
-            new_state = _set_prev(new_state, feats, pose0, pts_low, nrm_low, val_low)
+            new_state = _set_prev(new_state, feats, pose0)
             new_state = new_state._replace(
                 frame_count=jnp.asarray(1, jnp.int32),
                 last_status=jnp.asarray(STATUS_OK, jnp.int32),
@@ -209,9 +207,11 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
             )
             ba_pose = app(gat(state.kf_pose), pose_new)
             ba_valid = jnp.concatenate([sel_valid, (~fail)[None]])
-            ba_plow = app(gat(state.kf_points_low), pts_low)
-            ba_nlow = app(gat(state.kf_normals_low), nrm_low)
-            ba_vlow = app(gat(state.kf_valid_low), val_low)
+            # solve-ready dense tables: gather from the pool + new frame's
+            ba_dsrc = app(gat(state.kf_dsrc), fd.src)
+            ba_dvalid = app(gat(state.kf_dvalid) & sel_valid[:, None], fd.valid)
+            ba_dlin = app(gat(state.kf_dlin), fd.lin)
+            ba_tchan = app(gat(state.kf_tchan), fd.tchan)
 
             pair_valid = ba_valid[PAIR_I] & ba_valid[PAIR_J]
             bm = match_pairs_batched(
@@ -268,7 +268,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                 pair_i=PAIR_I, pair_j=PAIR_J,
                 pts_i=mpa, pts_j=mpb, valid=edge_valid,
             )
-            dense = DenseFrames(points=ba_plow, normals=ba_nlow, valid=ba_vlow)
+            dense_compact = stack_frame_dense(ba_dsrc, ba_dvalid, ba_dlin, ba_tchan)
             free_mask = jnp.arange(K_BA) > 0  # anchor oldest selected frame
 
             def run_ba(_):
@@ -277,7 +277,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                     frame_valid=ba_valid,
                     free_mask=free_mask,
                     corres=corres,
-                    dense=dense,
+                    dense_compact=dense_compact,
                     K_lowres=K_low,
                 )
                 opt_poses, _info = optimize_pose_graph(inputs, cfg.bundle)
@@ -309,7 +309,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
             )
             new_slot = eviction_slot(st.kf_frame_id, st.kf_pose)
             st_admit = _admit_keyframe(
-                st, feats, pose_final, pts_low, nrm_low, val_low,
+                st, feats, pose_final, fd,
                 frame_id=st.frame_count, slot=new_slot,
             )
             if cfg.feature_corres.map_points:
@@ -340,7 +340,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
             )
 
             # ---- prev update (skip on FAIL: reference forgets the frame) --
-            st_prev = _set_prev(st, feats, pose_final, pts_low, nrm_low, val_low)
+            st_prev = _set_prev(st, feats, pose_final)
             st = jax.tree.map(lambda a, b: jnp.where(~fail, a, b), st_prev, st)
 
             st = st._replace(
@@ -363,7 +363,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
 
 
 def _admit_keyframe(
-    state: TrackerState, feats: FrameFeatures, pose, pts_low, nrm_low, val_low,
+    state: TrackerState, feats: FrameFeatures, pose, fd,
     frame_id, slot=None,
 ):
     if slot is None:
@@ -375,24 +375,22 @@ def _admit_keyframe(
         kf_normals=state.kf_normals.at[slot].set(feats.normals),
         kf_kp_valid=state.kf_kp_valid.at[slot].set(feats.valid),
         kf_pose=state.kf_pose.at[slot].set(pose),
-        kf_points_low=state.kf_points_low.at[slot].set(pts_low),
-        kf_normals_low=state.kf_normals_low.at[slot].set(nrm_low),
-        kf_valid_low=state.kf_valid_low.at[slot].set(val_low),
+        kf_dsrc=state.kf_dsrc.at[slot].set(fd.src),
+        kf_dvalid=state.kf_dvalid.at[slot].set(fd.valid),
+        kf_dlin=state.kf_dlin.at[slot].set(fd.lin),
+        kf_tchan=state.kf_tchan.at[slot].set(fd.tchan),
         kf_frame_id=state.kf_frame_id.at[slot].set(frame_id),
         mappoints=mp,
     )
 
 
-def _set_prev(state: TrackerState, feats: FrameFeatures, pose, pts_low, nrm_low, val_low):
+def _set_prev(state: TrackerState, feats: FrameFeatures, pose):
     return state._replace(
         prev_desc=feats.desc,
         prev_pts=feats.pts,
         prev_normals=feats.normals,
         prev_kp_valid=feats.valid,
         prev_pose=pose,
-        prev_points_low=pts_low,
-        prev_normals_low=nrm_low,
-        prev_valid_low=val_low,
         prev_valid=jnp.asarray(True),
     )
 

@@ -42,9 +42,12 @@ class TrackerState(NamedTuple):
     kf_normals: jnp.ndarray  # [Kp, N, 3]
     kf_kp_valid: jnp.ndarray  # [Kp, N]
     kf_pose: jnp.ndarray  # [Kp, 4, 4] cam -> model
-    kf_points_low: jnp.ndarray  # [Kp, Hd, Wd, 3]
-    kf_normals_low: jnp.ndarray  # [Kp, Hd, Wd, 3]
-    kf_valid_low: jnp.ndarray  # [Kp, Hd, Wd]
+    # solve-ready dense-term tables, compacted ONCE at admission
+    # (CUDACache::storeFrame pattern; see solver/dense_p2p.py FrameDense)
+    kf_dsrc: jnp.ndarray  # [Kp, 6, C] compacted source planes
+    kf_dvalid: jnp.ndarray  # [Kp, C]
+    kf_dlin: jnp.ndarray  # [Kp, C] int32
+    kf_tchan: jnp.ndarray  # [Kp, Hd, Wd, 8] bf16 gather table
     kf_frame_id: jnp.ndarray  # [Kp] int32, -1 = empty slot
     # --- previous frame (neighbor-matching target) ---------------------
     prev_desc: jnp.ndarray  # [N, D]
@@ -52,9 +55,6 @@ class TrackerState(NamedTuple):
     prev_normals: jnp.ndarray  # [N, 3]
     prev_kp_valid: jnp.ndarray  # [N]
     prev_pose: jnp.ndarray  # [4, 4]
-    prev_points_low: jnp.ndarray  # [Hd, Wd, 3]
-    prev_normals_low: jnp.ndarray  # [Hd, Wd, 3]
-    prev_valid_low: jnp.ndarray  # [Hd, Wd]
     prev_valid: jnp.ndarray  # scalar bool
     # --- landmark memory ----------------------------------------------
     mappoints: MapPointTable
@@ -79,6 +79,7 @@ def init_tracker_state(cfg: TrackerConfig, H: int, W: int, seed: int = 0) -> Tra
     D = cfg.frontend.desc_dim
     ds = cfg.bundle.image_downscale
     Hd, Wd = H // ds, W // ds
+    C = min(Hd * Wd, cfg.bundle.dense_src_capacity)
     f32 = jnp.float32
     eye = jnp.eye(4, dtype=f32)
     import jax
@@ -89,18 +90,16 @@ def init_tracker_state(cfg: TrackerConfig, H: int, W: int, seed: int = 0) -> Tra
         kf_normals=jnp.zeros((Kp, N, 3), f32),
         kf_kp_valid=jnp.zeros((Kp, N), bool),
         kf_pose=jnp.broadcast_to(eye, (Kp, 4, 4)),
-        kf_points_low=jnp.zeros((Kp, Hd, Wd, 3), f32),
-        kf_normals_low=jnp.zeros((Kp, Hd, Wd, 3), f32),
-        kf_valid_low=jnp.zeros((Kp, Hd, Wd), bool),
+        kf_dsrc=jnp.zeros((Kp, 6, C), f32),
+        kf_dvalid=jnp.zeros((Kp, C), bool),
+        kf_dlin=jnp.zeros((Kp, C), jnp.int32),
+        kf_tchan=jnp.zeros((Kp, Hd, Wd, 8), jnp.bfloat16),
         kf_frame_id=jnp.full((Kp,), -1, jnp.int32),
         prev_desc=jnp.zeros((N, D), f32),
         prev_pts=jnp.zeros((N, 3), f32),
         prev_normals=jnp.zeros((N, 3), f32),
         prev_kp_valid=jnp.zeros((N,), bool),
         prev_pose=eye,
-        prev_points_low=jnp.zeros((Hd, Wd, 3), f32),
-        prev_normals_low=jnp.zeros((Hd, Wd, 3), f32),
-        prev_valid_low=jnp.zeros((Hd, Wd), bool),
         prev_valid=jnp.asarray(False),
         mappoints=init_mappoints(cfg.shapes.max_landmarks, Kp, N),
         frame_count=jnp.asarray(0, jnp.int32),

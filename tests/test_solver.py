@@ -203,3 +203,99 @@ class TestDensePointToPlane:
         # normal-direction offset should shrink substantially
         residual_offset = abs(np.dot(out[1][:3, 3], n))
         assert residual_offset < 0.002
+
+
+class TestCompactFrame:
+    """Per-frame (admission-time) compaction must match the batched per-solve
+    compaction that the standalone API uses."""
+
+    def test_matches_batched_compaction(self):
+        import jax
+        import jax.numpy as jnp
+
+        from bundletrack_tpu.solver.dense_p2p import (
+            DenseFrames,
+            compact_dense_frames,
+            compact_frame,
+            stack_frame_dense,
+        )
+
+        rng = np.random.RandomState(3)
+        K, H, W, C = 4, 24, 32, 64
+        pts = jnp.asarray(rng.rand(K, H, W, 3).astype(np.float32))
+        nrm = jnp.zeros((K, H, W, 3)).at[..., 2].set(-1.0)
+        val = jnp.asarray(rng.rand(K, H, W) > 0.5)
+
+        batched = compact_dense_frames(
+            DenseFrames(points=pts, normals=nrm, valid=val), capacity=C
+        )
+        per_frame = jax.vmap(lambda p, n, v: compact_frame(p, n, v, C))(
+            pts, nrm, val
+        )
+        stacked = stack_frame_dense(
+            per_frame.src, per_frame.valid, per_frame.lin, per_frame.tchan
+        )
+        np.testing.assert_allclose(
+            np.asarray(stacked.src), np.asarray(batched.src), atol=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stacked.src_valid), np.asarray(batched.src_valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stacked.src_lin), np.asarray(batched.src_lin)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stacked.tchan, np.float32),
+            np.asarray(batched.tchan, np.float32),
+        )
+
+    def test_dense_solve_same_result_precompacted(self):
+        """optimize_pose_graph(dense=...) == optimize_pose_graph(dense_compact=...)."""
+        import jax
+        import jax.numpy as jnp
+
+        from bundletrack_tpu.config import BundleConfig
+        from bundletrack_tpu.solver import (
+            DenseFrames,
+            GraphInputs,
+            SparseCorres,
+            optimize_pose_graph,
+        )
+        from bundletrack_tpu.solver.dense_p2p import compact_dense_frames
+
+        rng = np.random.RandomState(0)
+        K, M = 4, 32
+        pi, pj = np.triu_indices(K, k=1)
+        P = len(pi)
+        pa = jnp.asarray(rng.rand(P, M, 3).astype(np.float32))
+        corres = SparseCorres(
+            pair_i=jnp.asarray(pi, jnp.int32),
+            pair_j=jnp.asarray(pj, jnp.int32),
+            pts_i=pa,
+            pts_j=pa + 0.01,
+            valid=jnp.ones((P, M), bool),
+        )
+        Hd, Wd = 16, 16
+        dense = DenseFrames(
+            points=jnp.asarray(rng.rand(K, Hd, Wd, 3).astype(np.float32)),
+            normals=jnp.zeros((K, Hd, Wd, 3)).at[..., 2].set(-1.0),
+            valid=jnp.ones((K, Hd, Wd), bool),
+        )
+        Klow = jnp.asarray(
+            np.array([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]], np.float32)
+        )
+        cfg = BundleConfig(num_iter_outer=2, dense_src_capacity=64)
+        base = GraphInputs(
+            poses=jnp.broadcast_to(jnp.eye(4), (K, 4, 4)),
+            frame_valid=jnp.ones(K, bool),
+            free_mask=jnp.arange(K) > 0,
+            corres=corres,
+            dense=dense,
+            K_lowres=Klow,
+        )
+        p1, _ = optimize_pose_graph(base, cfg)
+        cd = compact_dense_frames(dense, capacity=64)
+        p2, _ = optimize_pose_graph(
+            base._replace(dense=None, dense_compact=cd), cfg
+        )
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
