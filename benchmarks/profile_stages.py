@@ -118,7 +118,6 @@ def main():
             inlier_normal_deg=rc.inlier_normal_angle,
             max_trans=rc.max_trans_neighbor, max_rot_deg=rc.max_rot_deg_neighbor,
             min_matches=rc.min_match_after_ransac,
-            trial_chunk=min(256, rc.max_iter),
         )
 
     rj = jax.jit(nb_ransac)
@@ -172,7 +171,6 @@ def main():
             inlier_normal_deg=rc.inlier_normal_angle,
             max_trans=rc.max_trans_no_neighbor, max_rot_deg=rc.max_rot_no_neighbor,
             min_matches=rc.min_match_after_ransac,
-            trial_chunk=min(256, rc.max_iter),
         )
 
     mrj = jax.jit(mp_ransac)

@@ -69,10 +69,12 @@ class BundleConfig:
     # term (the reference sizes its dense residual buffers at H*W/4 per pair,
     # src/cuda/LossGPU.cu:102); valid pixels beyond this are decimated evenly.
     # The per-GN-iteration association gather scales linearly with this: 2048
-    # halves the solver stage vs 4096 with no measurable accuracy change
-    # (sub-mm identical on the synthetic eval; pair weights saturate at
-    # 1/min(log n, 9) anyway, so extra pixels add little signal)
-    dense_src_capacity: int = 2048
+    # halves the solver stage vs 4096 with no measurable accuracy change on
+    # the synthetic eval (pair weights saturate at 1/min(log n, 9) anyway),
+    # and bench.py uses 2048; the default stays at the reference-faithful
+    # 4096 until the cheaper setting is validated on real large-object
+    # sequences.
+    dense_src_capacity: int = 4096
     solver_backend: str = "cholesky"  # "cholesky" (dense 6Kx6K normal eqs) or "pcg"
     lm_lambda: float = 1e-6  # Levenberg damping added to the normal equations
     w_sparse: float = 1.0  # reference SBA.cpp:28-32 weightsSparse = 1

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from bundletrack_tpu.matching.pairwise import MatchResult
+from bundletrack_tpu.ops.prefix import prefix_sum_1d
 
 
 class MapPointTable(NamedTuple):
@@ -77,8 +78,6 @@ def update_mappoints(
     rev = rev.at[slot_i, jnp.where(has_b, ia, N)].set(lm_b, mode="drop")
 
     # --- allocate new landmarks ----------------------------------------
-    from bundletrack_tpu.ops.prefix import prefix_sum_1d
-
     free = ~jnp.any(obs >= 0, axis=-1)  # [L]
     # rank of each free row among free rows (0-based); MXU prefix sums —
     # jnp.cumsum lowers to a slow reduce-window on TPU

@@ -15,10 +15,10 @@ Design (not a port):
   * curand -> threefry (jax.random), deterministic by construction (the
     reference seeds curand with 0 intending determinism, but its atomics
     race; here determinism is exact).  Trials come from a permute+roll
-    combinatorial design (see ransac_pair) so the [T, 3] sample gather —
-    the measured hot spot — disappears entirely.
-  * Trials are evaluated in chunks with lax.map to bound the [P, T, M]
-    intermediate to [P, Tc, M] in VMEM/HBM.
+    combinatorial design with per-repeat random phases (see ransac_pair) so
+    the [T, 3] sample gather — the measured hot spot — disappears entirely.
+  * Trial scoring is ONE [T, 26] x [26, M] MXU matmul (no [T, M, 3]
+    intermediate); num_trials is rounded up to T_eff = ceil(T / M) * M.
   * The model gate (max translation / rotation vs the relative pose prior)
     mirrors runRansacBetween's max_trans/max_rot_deg gates
     (FeatureManager.cpp:592-615).
@@ -31,10 +31,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _mm = functools.partial(jnp.matmul, precision="highest")
 
 from bundletrack_tpu.geometry.procrustes import rigid_from_three_points, kabsch
+from bundletrack_tpu.ops.prefix import prefix_sum_last
 from bundletrack_tpu.geometry.se3 import (
     rotation_geodesic_distance,
     se3_inverse,
@@ -286,7 +288,6 @@ def ransac_pair(
     max_trans: float = 1e9,
     max_rot_deg: float = 1e9,
     min_matches: int = 5,
-    trial_chunk: int = 256,
 ) -> RansacResult:
     """RANSAC over one match set; vmap over pairs for the multi-pair variant."""
     M = pts_a.shape[0]
@@ -299,24 +300,23 @@ def ransac_pair(
     # the whole tracking step at P=120, T=2000.  Instead, trials come from a
     # combinatorial design that needs only THREE M-row gathers total:
     #
-    #   vertex tables  tbl_k[j] = packed[fill[pi_k[(j + b_k) mod M]]]
-    #   trial (r, j)   = (tbl_1[j], tbl_2[j + c_r], tbl_3[j + d_r])
+    #   vertex tables  tbl_k[j] = packed[fill[pi_k[j mod M]]]
+    #   trial (r, j)   = (tbl_1[j + b_1r], tbl_2[j + b_2r], tbl_3[j + b_3r])
     #
-    # where pi_k are fixed shuffles (baked numpy constants), b_k are
-    # per-call random phases (the only PRNG draw: 3 ints), fill cycles the
-    # valid-first order list to all M slots, and c_r/d_r are fixed per-repeat
-    # offsets — so the [T, 3, 8] trial tensor materializes as broadcasts and
-    # STATIC rolls (pure vector copies, no dynamic indexing).  Marginals stay
-    # uniform over valid matches; triples are distinct by construction up to
-    # fill-duplication, which the `distinct` flag (match id carried in
-    # channel 6) rejects exactly like collision rejection in iid sampling.
-    # The reference draws iid triples with curand per CUDA thread
-    # (cuda_ransac.cu:1145-1181); RANSAC only needs uniform coverage, not
-    # iid-ness, so the design trade is free.
-    import numpy as np
-
-    from bundletrack_tpu.ops.prefix import prefix_sum_last
-
+    # where pi_k are fixed shuffles (baked numpy constants), b_kr are
+    # per-repeat random phases ([3, n_rep] ints — the only PRNG draw), and
+    # fill cycles the valid-first order list to all M slots — so the
+    # [T, 3, 8] trial tensor materializes as cyclic rolls of three gathered
+    # tables (no per-trial dynamic indexing).  Each repeat is an independent
+    # random shift of the design, so repeated calls / many repeats explore
+    # different triple families (a fixed-offset variant shared one family
+    # across all calls and degraded at low inlier ratios — see
+    # tests/test_ransac.py::test_low_inlier_ratio).  Marginals stay uniform
+    # over valid matches; triples are distinct up to fill-duplication, which
+    # the `distinct` flag (match id carried in channel 6) rejects exactly
+    # like collision rejection in iid sampling.  The reference draws iid
+    # triples with curand per CUDA thread (cuda_ransac.cu:1145-1181); RANSAC
+    # only needs uniform coverage, not iid-ness, so the design trade is free.
     iota_m = jnp.arange(M, dtype=jnp.int32)
     cnt = prefix_sum_last(match_valid)  # MXU; cumsum is a TPU hot spot
     pos = jnp.where(match_valid, cnt - 1, num_valid + (iota_m - cnt))
@@ -328,8 +328,7 @@ def ransac_pair(
         np.random.RandomState(1000 + k).permutation(M).astype(np.int32)
         for k in range(3)
     ]
-    offs = np.random.RandomState(77).randint(1, max(M, 2), size=(2, n_rep))
-    b = jax.random.randint(key, (3,), 0, M, dtype=jnp.int32)
+    b = jax.random.randint(key, (3, n_rep), 0, M, dtype=jnp.int32)
 
     packed = jnp.concatenate(
         [
@@ -341,19 +340,16 @@ def ransac_pair(
         axis=-1,
     )  # [M, 8]
     tbl = [
-        jnp.take(
-            packed,
-            jnp.take(fill, jnp.take(jnp.asarray(pis[k]), (iota_m + b[k]) % M)),
-            axis=0,
-        )
+        jnp.take(packed, jnp.take(fill, jnp.asarray(pis[k])), axis=0)
         for k in range(3)
     ]  # 3 x [M, 8]
-    tri1 = jnp.broadcast_to(tbl[0][None], (n_rep, M, 8)).reshape(n_rep * M, 8)
-    tri2 = jnp.concatenate(
-        [jnp.roll(tbl[1], -int(offs[0, r]), axis=0) for r in range(n_rep)], axis=0
-    )
-    tri3 = jnp.concatenate(
-        [jnp.roll(tbl[2], -int(offs[1, r]), axis=0) for r in range(n_rep)], axis=0
+    # rolling tbl_k by -b equals shifting pi_k's argument by b, so each
+    # repeat is an independently phased pass over the design
+    tri1, tri2, tri3 = (
+        jnp.concatenate(
+            [jnp.roll(tbl[k], -b[k, r], axis=0) for r in range(n_rep)], axis=0
+        )
+        for k in range(3)
     )
     g = jnp.stack([tri1, tri2, tri3], axis=1)  # [T_eff, 3, 8]
     ids = g[..., 6]

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from bundletrack_tpu.geometry.robust import huber
 from bundletrack_tpu.geometry.se3 import se3_inverse
+from bundletrack_tpu.ops.prefix import prefix_sum_1d as _prefix_sum_mxu
 from bundletrack_tpu.solver.residuals import scatter_blocks
 
 _mm = functools.partial(jnp.matmul, precision="highest")
@@ -108,9 +109,6 @@ class FrameDense(NamedTuple):
     valid: jnp.ndarray
     lin: jnp.ndarray
     tchan: jnp.ndarray
-
-
-from bundletrack_tpu.ops.prefix import prefix_sum_1d as _prefix_sum_mxu
 
 
 def compact_frame(

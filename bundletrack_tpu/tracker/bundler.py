@@ -185,7 +185,6 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                 max_trans=rc.max_trans_neighbor,
                 max_rot_deg=rc.max_rot_deg_neighbor,
                 min_matches=rc.min_match_after_ransac,
-                trial_chunk=min(256, rc.max_iter),
             )
             T_new_to_prev = refine_pose_on_inliers(pa, pb, rr.inliers)
             pose_new = jnp.where(
@@ -256,7 +255,6 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                 max_trans=rc.max_trans_no_neighbor,
                 max_rot_deg=rc.max_rot_no_neighbor,
                 min_matches=rc.min_match_after_ransac,
-                trial_chunk=min(256, rc.max_iter),
             )
             edge_valid = bm.valid & mr.inliers
             new_idx = K_BA - 1

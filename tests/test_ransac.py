@@ -35,7 +35,7 @@ class TestRansacPair:
             jnp.asarray(na), jnp.asarray(nb),
             jnp.ones(len(pts_a), bool),
             jnp.asarray(T_true),  # prior = truth (loose gates anyway)
-            num_trials=512, inlier_dist=0.01, trial_chunk=128,
+            num_trials=512, inlier_dist=0.01,
         )
         assert bool(res.valid)
         inl = np.asarray(res.inliers)
@@ -57,7 +57,7 @@ class TestRansacPair:
             jnp.ones(len(pts_a), bool),
             jnp.asarray(far_prior),
             num_trials=256, inlier_dist=0.01,
-            max_trans=0.01, max_rot_deg=5.0, trial_chunk=128,
+            max_trans=0.01, max_rot_deg=5.0,
         )
         assert not bool(res.valid)
 
@@ -68,7 +68,7 @@ class TestRansacPair:
             jax.random.PRNGKey(0),
             jnp.asarray(pts_a), jnp.asarray(pts_b),
             jnp.asarray(na), jnp.asarray(nb), mv,
-            jnp.asarray(T_true), num_trials=256, trial_chunk=128,
+            jnp.asarray(T_true), num_trials=256,
         )
         assert not bool(res.valid)
 
@@ -79,10 +79,44 @@ class TestRansacPair:
             jnp.asarray(na), jnp.asarray(nb),
             jnp.ones(len(pts_a), bool), jnp.asarray(T_true),
         )
-        r1 = ransac_pair(jax.random.PRNGKey(3), *args, num_trials=256, trial_chunk=128)
-        r2 = ransac_pair(jax.random.PRNGKey(3), *args, num_trials=256, trial_chunk=128)
+        r1 = ransac_pair(jax.random.PRNGKey(3), *args, num_trials=256)
+        r2 = ransac_pair(jax.random.PRNGKey(3), *args, num_trials=256)
         np.testing.assert_array_equal(np.asarray(r1.inliers), np.asarray(r2.inliers))
         np.testing.assert_array_equal(np.asarray(r1.best_pose), np.asarray(r2.best_pose))
+
+
+class TestLowInlierRatio:
+    def test_low_inlier_ratio(self):
+        """Regression for the permute+roll trial design at ~15% inliers.
+
+        With iid 3-point sampling, P(all-inlier trial) ~ 0.15^3 = 3.4e-3, so
+        2048 trials succeed with prob ~ 1 - e^-7.  The per-repeat random
+        phases must keep the combinatorial design comparably reliable — a
+        fixed-offset family (one shared triple family for every call) can
+        miss systematically here.
+        """
+        m, ratio = 256, 0.15
+        hits = 0
+        n_keys = 8
+        for seed in range(n_keys):
+            pts_a, pts_b, na, nb, T_true, inl_true = make_scene(
+                m=m, outlier_frac=1.0 - ratio
+            )
+            res = ransac_pair(
+                jax.random.PRNGKey(seed),
+                jnp.asarray(pts_a), jnp.asarray(pts_b),
+                jnp.asarray(na), jnp.asarray(nb),
+                jnp.ones(m, bool), jnp.asarray(T_true),
+                num_trials=2048, inlier_dist=0.01,
+            )
+            if not bool(res.valid):
+                continue
+            T_ref = np.asarray(refine_pose_on_inliers(
+                jnp.asarray(pts_a), jnp.asarray(pts_b), res.inliers))
+            if (np.abs(T_ref[:3, :3] - T_true[:3, :3]).max() < 2e-2
+                    and np.abs(T_ref[:3, 3] - T_true[:3, 3]).max() < 2e-2):
+                hits += 1
+        assert hits >= n_keys - 1, f"only {hits}/{n_keys} low-inlier runs succeeded"
 
 
 class TestRansacMultiPair:
@@ -96,7 +130,7 @@ class TestRansacMultiPair:
         prior = jnp.asarray(np.stack([s[4] for s in scenes]))
         res = ransac_multi_pair(
             jax.random.PRNGKey(0), pa, pb, na, nb, mv, prior,
-            num_trials=512, inlier_dist=0.01, trial_chunk=128,
+            num_trials=512, inlier_dist=0.01,
         )
         assert bool(res.valid.all())
         for k in range(4):

@@ -71,11 +71,11 @@ class TestWarpField:
 
 class TestTrainerApps:
     def test_train_lfnet_cli_smoke(self, tmp_path, capsys):
-        """CLI wiring: steps run, metrics stay finite, checkpoint written.
-        (Loss descent itself is asserted in test_lfnet.py
+        """CLI wiring: steps run, loss trends down, checkpoint written.
+        (Sharp descent is asserted in test_lfnet.py
         test_train_step_reduces_loss on a controlled batch — at this tiny
-        CLI config the loss sits near a flat optimum and oscillates, so a
-        first-vs-last comparison is not a meaningful signal.)"""
+        CLI config the loss oscillates near a flat optimum, so the check
+        here is the noise-robust mean-of-tail <= mean-of-head.)"""
         from bundletrack_tpu.apps.train_lfnet import main
 
         metrics = main([
@@ -92,6 +92,7 @@ class TestTrainerApps:
         losses = [l["loss"] for l in lines]
         assert len(losses) == 6
         assert np.all(np.isfinite(losses))
+        assert np.mean(losses[-3:]) <= np.mean(losses[:3]) + 1e-3
         assert (tmp_path / "ck" / "meta.json").exists()
 
     def test_train_lfnet_resume(self, tmp_path, capsys):
