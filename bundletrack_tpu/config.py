@@ -59,7 +59,12 @@ class BundleConfig:
 
     num_iter_outer: int = 7  # GN outer iterations (num_iter_outter)
     num_iter_inner: int = 5  # PCG inner iterations
-    window_size: int = 2  # non-keyframe sliding window (excl. keyframes, incl. new)
+    # ACCEPTED BUT IGNORED: the reference keeps a sliding window of the last
+    # `window_size` non-keyframes as extra BA candidates (src/Bundler.cpp:
+    # 149-159); here the BA subset is always prev frame + keyframe pool —
+    # the pool (capacity keyframe.pool_size) subsumes the window's role.
+    # The key is parsed so reference YAMLs load unchanged.
+    window_size: int = 2
     max_ba_frames: int = 16  # reference 15; padded to 16 for TPU tile alignment
     subset_selection_method: str = "greedy_rot"
     robust_delta: float = 0.005
@@ -80,7 +85,17 @@ class BundleConfig:
     w_sparse: float = 1.0  # reference SBA.cpp:28-32 weightsSparse = 1
     w_dense_depth: float = 1.0  # weightsDenseDepth = 1
     w_dense_color: float = 0.0  # weightsDenseColor = 0 (compiled but disabled)
-    early_stop_delta: float = 0.005  # reference early-out when max delta small
+    # GN early-out: stop outer iterations once max |delta| over free frames
+    # drops below this (reference ENABLE_EARLY_OUT + EvalGNConvergence,
+    # SolverBundling.cu:996-999); 0 disables and always runs num_iter_outer
+    early_stop_delta: float = 0.005
+    # post-solve verification (reference CUDASolverBundling::useVerification,
+    # src/cuda/Solver/CUDASolverBundling.cpp:396-417 with thresholds from
+    # :31-32; the reference compiles it but always sets m_bVerify=false,
+    # SBA.cpp:74,87 — here the flag actually gates a solve-reject path)
+    use_verification: bool = False
+    verify_dist_thresh: float = 0.02  # m_verifyOptDistThresh
+    verify_percent_thresh: float = 0.05  # m_verifyOptPercentThresh
 
 
 @_frozen
@@ -172,7 +187,11 @@ class FrontendConfig:
 class SegmentationConfig:
     """Video-object-segmentation settings (reference: transductive-vos run_video.py)."""
 
-    seg_dilation_iter: int = 0  # NOCS uses 3
+    seg_dilation_iter: int = 0  # NOCS yml sets 3 (parsed-but-unused in the
+    # reference C++; here >1 adds extra 5x5 dilate rounds, see preprocess_mask)
+    # largest-CC + convex-hull mask fill (reference NOCS path,
+    # src/Frame.cpp:262-312, keyed there on data_dir containing "NOCS")
+    nocs_mask_fill: bool = False
     backbone: str = "resnet18"
     ref_num: int = 9
     sigma1: float = 8.0
@@ -232,7 +251,7 @@ def nocs_config(**overrides) -> TrackerConfig:
         ransac=RansacConfig(
             inlier_dist=0.005, max_trans_neighbor=0.2, max_rot_deg_neighbor=25.0
         ),
-        segmentation=SegmentationConfig(seg_dilation_iter=3),
+        segmentation=SegmentationConfig(seg_dilation_iter=3, nocs_mask_fill=True),
     )
     return cfg.replace(**overrides) if overrides else cfg
 

@@ -8,7 +8,13 @@ from bundletrack_tpu.ops.pointcloud import (
     depth_to_cloud_and_normals,
     downsample_nearest,
 )
-from bundletrack_tpu.ops.masks import dilate_mask, mask_roi, largest_component_fill
+from bundletrack_tpu.ops.masks import (
+    convex_hull_fill,
+    dilate_mask,
+    largest_component_fill,
+    mask_roi,
+    preprocess_mask,
+)
 from bundletrack_tpu.ops.resize import (
     crop_resize_square,
     resize_bilinear,
@@ -25,6 +31,8 @@ __all__ = [
     "dilate_mask",
     "mask_roi",
     "largest_component_fill",
+    "convex_hull_fill",
+    "preprocess_mask",
     "crop_resize_square",
     "resize_bilinear",
     "keypoints_to_original",

@@ -1,8 +1,10 @@
-"""Segmentation-mask utilities: dilation, ROI, component filling.
+"""Segmentation-mask utilities: dilation, ROI, component/hull filling.
 
 Reference: Frame::segmentationByMaskFile (src/Frame.cpp:236-319) — reads the
-VOS mask, optionally keeps the largest connected component + convex-hull fill
-(NOCS path), dilates 5x5, invalidates out-of-mask pixels and computes the ROI.
+VOS mask, on the NOCS path keeps the largest connected component and fills its
+convex hull (OpenCV connectedComponents + convexHull + fillConvexPoly,
+src/Frame.cpp:262-312), then always dilates with a 5x5 rect kernel (313-315),
+invalidates out-of-mask pixels and computes the ROI.
 """
 
 from __future__ import annotations
@@ -12,15 +14,19 @@ import jax.numpy as jnp
 
 
 def dilate_mask(mask: jnp.ndarray, iterations: int = 1, ksize: int = 5) -> jnp.ndarray:
-    """Binary dilation with a ksize x ksize structuring element."""
+    """Binary dilation with a ksize x ksize rect element (non-wrapping edges).
+
+    Reference: cv::dilate with MORPH_RECT {5,5} (src/Frame.cpp:313-315).
+    A rect max-filter is separable, so this is two 1-D reduce_windows.
+    """
     m = mask.astype(jnp.float32)
-    r = ksize // 2
     for _ in range(iterations):
-        acc = jnp.zeros_like(m)
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                acc = acc + jnp.roll(m, (dy, dx), axis=(-2, -1))
-        m = (acc > 0).astype(jnp.float32)
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (ksize, 1), (1, 1), "SAME"
+        )
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (1, ksize), (1, 1), "SAME"
+        )
     return m > 0
 
 
@@ -48,14 +54,35 @@ def mask_roi(mask: jnp.ndarray):
     return umin, umax, vmin, vmax, nonempty
 
 
-def largest_component_fill(mask: jnp.ndarray, num_iters: int = 64) -> jnp.ndarray:
-    """Approximate largest-connected-component extraction via label diffusion.
+def _segmented_run_min(lab: jnp.ndarray, mask: jnp.ndarray, axis: int, big):
+    """Min label over each contiguous run of mask pixels along `axis`.
 
-    The reference's NOCS path keeps the largest CC then convex-hull fills
-    (src/Frame.cpp:262-300, OpenCV connectedComponents).  Classic CC labeling
-    is sequential; on TPU we run iterative min-label diffusion (4-neighborhood)
-    for `num_iters` rounds — exact when every component's diameter is below
-    num_iters — then keep the component with the largest pixel count.
+    Segmented min-scan: carry (value, boundary); a boundary (non-mask pixel)
+    resets the running min.  Forward + backward pass covers the whole run.
+    """
+    axis = axis % lab.ndim  # lax.rev (reverse=True) rejects negative axes
+    v = jnp.where(mask, lab, big)
+    reset = ~mask
+
+    def op(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
+
+    fv, _ = jax.lax.associative_scan(op, (v, reset), axis=axis)
+    rv, _ = jax.lax.associative_scan(op, (v, reset), axis=axis, reverse=True)
+    return jnp.where(mask, jnp.minimum(fv, rv), big)
+
+
+def largest_component_fill(mask: jnp.ndarray, num_iters: int = 16) -> jnp.ndarray:
+    """Largest 4-connected component of a binary mask.
+
+    The reference's NOCS path keeps the largest CC (src/Frame.cpp:262-300,
+    OpenCV connectedComponents).  Classic CC labeling is sequential; here each
+    round propagates the min label across ENTIRE horizontal then vertical runs
+    (segmented scans), so a round resolves one "bend" of a component's
+    geodesic — num_iters=16 is exact for anything but a 16-turn spiral,
+    regardless of component size in pixels.
     """
     H, W = mask.shape[-2], mask.shape[-1]
     idx = (jnp.arange(H)[:, None] * W + jnp.arange(W)[None, :]).astype(jnp.int32)
@@ -63,22 +90,81 @@ def largest_component_fill(mask: jnp.ndarray, num_iters: int = 64) -> jnp.ndarra
     labels = jnp.where(mask, idx, big)
 
     def body(_, lab):
-        nb = jnp.minimum(
-            jnp.minimum(
-                jnp.roll(lab, 1, axis=-2).at[..., 0, :].set(big),
-                jnp.roll(lab, -1, axis=-2).at[..., -1, :].set(big),
-            ),
-            jnp.minimum(
-                jnp.roll(lab, 1, axis=-1).at[..., :, 0].set(big),
-                jnp.roll(lab, -1, axis=-1).at[..., :, -1].set(big),
-            ),
-        )
-        return jnp.where(mask, jnp.minimum(lab, nb), big)
+        lab = _segmented_run_min(lab, mask, -1, big)
+        lab = _segmented_run_min(lab, mask, -2, big)
+        return lab
 
     labels = jax.lax.fori_loop(0, num_iters, body, labels)
-    # Count pixels per root label via one-hot over flattened bincount-free path:
     flat = labels.reshape(-1)
     counts = jnp.zeros((H * W + 2,), jnp.int32).at[jnp.clip(flat, 0, H * W + 1)].add(1)
     counts = counts.at[big].set(0)
     best = jnp.argmax(counts)
     return labels == best
+
+
+def convex_hull_fill(mask: jnp.ndarray, num_dirs: int = 64) -> jnp.ndarray:
+    """Filled convex hull of a binary mask (outer approximation).
+
+    Reference: cv::convexHull + cv::fillConvexPoly over the largest-CC pixels
+    (src/Frame.cpp:293-307).  TPU-native formulation: the hull is the
+    intersection of half-planes {p : <p, d_k> <= sup_k} over directions d_k;
+    support values need only the per-row min/max columns of the mask (<= 2H
+    candidate points -> one [2H, K] matmul), and each half-plane constrains
+    each image row to a column interval, so the fill is a per-row interval
+    intersection — no polygon rasterization.  With K=64 directions the
+    circumscribed polygon deviates from the exact hull by
+    ~R * pi^2 / (2 K^2) < 0.5 px for R ~ 400 px.
+    """
+    H, W = mask.shape[-2], mask.shape[-1]
+    cols = jnp.arange(W, dtype=jnp.float32)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    big = jnp.float32(1e9)
+    any_row = jnp.any(mask, axis=-1)  # [H]
+    wmin = jnp.min(jnp.where(mask, cols[None, :], big), axis=-1)
+    wmax = jnp.max(jnp.where(mask, cols[None, :], -big), axis=-1)
+    # candidates: per-row extreme points (support in any direction is attained
+    # at a row extreme: for fixed h, w*cx is monotone in w)
+    cw = jnp.concatenate([wmin, wmax])  # [2H]
+    ch = jnp.concatenate([rows, rows])
+    cvalid = jnp.concatenate([any_row, any_row])
+
+    ang = jnp.arange(num_dirs, dtype=jnp.float32) * (2.0 * jnp.pi / num_dirs)
+    cx, cy = jnp.cos(ang), jnp.sin(ang)  # [K]
+    s = cw[:, None] * cx[None, :] + ch[:, None] * cy[None, :]  # [2H, K]
+    sup = jnp.max(jnp.where(cvalid[:, None], s, -big), axis=0)  # [K]
+
+    # half-plane k restricted to row h: w * cx_k <= thr[h, k]
+    eps = 0.5  # sub-pixel slack so boundary pixels stay inside
+    thr = sup[None, :] - rows[:, None] * cy[None, :] + eps  # [H, K]
+    tol = 1e-6
+    pos = cx > tol
+    neg = cx < -tol
+    zer = ~(pos | neg)
+    safe_cx = jnp.where(zer, 1.0, cx)
+    bound = thr / safe_cx[None, :]
+    ub = jnp.min(jnp.where(pos[None, :], bound, big), axis=-1)  # [H]
+    lb = jnp.max(jnp.where(neg[None, :], bound, -big), axis=-1)
+    rowok = jnp.all(jnp.where(zer[None, :], thr >= 0.0, True), axis=-1)
+
+    filled = (
+        (cols[None, :] >= lb[:, None])
+        & (cols[None, :] <= ub[:, None])
+        & rowok[:, None]
+    )
+    return filled & jnp.any(mask)
+
+
+def preprocess_mask(mask: jnp.ndarray, seg_cfg) -> jnp.ndarray:
+    """Full reference mask chain (Frame::segmentationByMaskFile postprocess).
+
+    NOCS path (seg_cfg.nocs_mask_fill): largest CC -> convex-hull fill; then
+    always one 5x5 dilate (src/Frame.cpp:313-315).  `seg_dilation_iter` is
+    honored as extra dilate rounds — the reference PARSES it from
+    config_nocs.yml:10 but its C++ never reads it (single fixed dilate), so
+    values > 1 are an extension; <= 1 matches the reference exactly.
+    """
+    if seg_cfg.nocs_mask_fill:
+        mask = largest_component_fill(mask)
+        mask = convex_hull_fill(mask)
+    iters = max(1, int(seg_cfg.seg_dilation_iter))
+    return dilate_mask(mask, iterations=iters, ksize=5)

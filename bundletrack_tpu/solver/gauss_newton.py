@@ -152,8 +152,7 @@ def optimize_pose_graph(inputs: GraphInputs, cfg, p2p_cfg=None):
             with_color=cfg.w_dense_color > 0.0,
         )
 
-    def outer(it, carry):
-        poses, _ = carry
+    def gn_step(poses):
         cur = inputs._replace(poses=poses)
         H, g, cost = build_normal_equations(cur, cfg, dense_compact)
         free = inputs.free_mask & inputs.frame_valid
@@ -173,28 +172,72 @@ def optimize_pose_graph(inputs: GraphInputs, cfg, p2p_cfg=None):
         new_poses = jnp.where(
             inputs.frame_valid[:, None, None], new_poses, poses
         )
-        return new_poses, cost
+        return new_poses, cost, jnp.max(jnp.abs(delta))
 
-    poses, cost = jax.lax.fori_loop(
-        0, cfg.num_iter_outer, outer, (inputs.poses, jnp.asarray(0.0, jnp.float32))
-    )
+    zero = jnp.asarray(0.0, jnp.float32)
+    if cfg.early_stop_delta > 0.0:
+        # early-out once the max delta component over free frames converges
+        # (reference ENABLE_EARLY_OUT + EvalGNConvergence < 0.005,
+        # SolverBundling.cu:996-999, 518-572); a while_loop instead of the
+        # reference's host-side break — no device->host sync per iteration
+
+        def w_cond(carry):
+            it, _, _, max_delta = carry
+            return (it < cfg.num_iter_outer) & (max_delta >= cfg.early_stop_delta)
+
+        def w_body(carry):
+            it, poses, _, _ = carry
+            new_poses, cost, max_delta = gn_step(poses)
+            return it + 1, new_poses, cost, max_delta
+
+        _, poses, cost, _ = jax.lax.while_loop(
+            w_cond, w_body, (jnp.asarray(0, jnp.int32), inputs.poses, zero, jnp.inf)
+        )
+    else:
+        def outer(it, carry):
+            poses, _ = carry
+            new_poses, cost, _ = gn_step(poses)
+            return new_poses, cost
+
+        poses, cost = jax.lax.fori_loop(
+            0, cfg.num_iter_outer, outer, (inputs.poses, zero)
+        )
     info = {"final_cost": cost}
     info.update(verify_solution(poses, inputs, cfg))
     return poses, info
 
 
+def optimize_pose_graph_verified(inputs: GraphInputs, cfg):
+    """optimize_pose_graph + the useVerification reject path.
+
+    When cfg.use_verification and the post-solve fraction of high-residual
+    correspondences reaches cfg.verify_percent_thresh, the solve is rejected:
+    the input poses are returned unchanged and `rejected` is True (reference
+    CUDASolverBundling::useVerification, CUDASolverBundling.cpp:396-417).
+    Returns (poses, rejected, info).
+    """
+    poses, info = optimize_pose_graph(inputs, cfg)
+    rejected = jnp.asarray(False)
+    if cfg.use_verification:
+        rejected = info["high_residual_frac"] >= cfg.verify_percent_thresh
+        poses = jnp.where(rejected, inputs.poses, poses)
+    return poses, rejected, info
+
+
 def verify_solution(poses, inputs: GraphInputs, cfg):
     """Post-solve residual analysis (reference CUDASolverBundling
     computeMaxResidual:303-375 and useVerification high-residual percentage
-    check:396-417).  Returns max sparse residual and the fraction of
-    correspondences above the Huber threshold; callers can reject the solve
-    (revert poses / flag FAIL) when the fraction is too high."""
+    check:396-417).  A correspondence is "high" when w_sparse * the max-abs
+    residual component exceeds verify_dist_thresh (evalAbsMaxResidualDevice,
+    SolverBundlingEquationsLie.h:26-39); the tracker rejects the solve when
+    the high fraction reaches verify_percent_thresh (see bundler.py)."""
     from bundletrack_tpu.solver.residuals import sparse_residuals
 
     r, _, _ = sparse_residuals(poses, inputs.corres)
     e = jnp.linalg.norm(r, axis=-1)
+    e_inf = jnp.max(jnp.abs(r), axis=-1) * cfg.w_sparse
     valid = inputs.corres.valid
     n = jnp.maximum(jnp.sum(valid), 1)
     max_res = jnp.max(jnp.where(valid, e, 0.0))
-    high = jnp.sum((e > cfg.robust_delta) & valid) / n
+    high = jnp.sum((e_inf > cfg.verify_dist_thresh) & valid) / n
     return {"max_residual": max_res, "high_residual_frac": high}

@@ -28,6 +28,7 @@ from bundletrack_tpu.geometry.camera import scale_intrinsics
 from bundletrack_tpu.geometry.se3 import se3_compose, se3_inverse
 from bundletrack_tpu.matching.pairwise import match_pair, match_pairs_batched
 from bundletrack_tpu.ops.depth import process_depth
+from bundletrack_tpu.ops.masks import preprocess_mask
 from bundletrack_tpu.ops.pointcloud import depth_to_cloud_and_normals
 from bundletrack_tpu.ransac.ransac import (
     ransac_multi_pair,
@@ -39,7 +40,10 @@ from bundletrack_tpu.solver.dense_p2p import (
     compact_frame,
     stack_frame_dense,
 )
-from bundletrack_tpu.solver.gauss_newton import GraphInputs, optimize_pose_graph
+from bundletrack_tpu.solver.gauss_newton import (
+    GraphInputs,
+    optimize_pose_graph_verified,
+)
 from bundletrack_tpu.solver.residuals import SparseCorres
 from bundletrack_tpu.tracker.selection import (
     eviction_slot,
@@ -85,8 +89,11 @@ def _preprocess(obs: FrameObservation, cfg: TrackerConfig):
     compacted ONCE here, never per solve)."""
     depth = process_depth(obs.depth, cfg.depth_processing)
     pts_map, nrm_map, val_map = depth_to_cloud_and_normals(depth, obs.K)
-    mask = obs.mask & (depth > 0.1)
-    val_map = val_map & obs.mask
+    # mask chain: (NOCS) largest-CC + convex-hull fill, then 5x5 dilate
+    # (reference Frame::segmentationByMaskFile, src/Frame.cpp:262-319)
+    seg_mask = preprocess_mask(obs.mask, cfg.segmentation)
+    mask = seg_mask & (depth > 0.1)
+    val_map = val_map & seg_mask
     ds = cfg.bundle.image_downscale
     fd = compact_frame(
         pts_map[::ds, ::ds],
@@ -278,12 +285,18 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                     dense_compact=dense_compact,
                     K_lowres=K_low,
                 )
-                opt_poses, _info = optimize_pose_graph(inputs, cfg.bundle)
-                return opt_poses
+                opt_poses, reject, _info = optimize_pose_graph_verified(
+                    inputs, cfg.bundle
+                )
+                return opt_poses, reject
 
-            ba_out_poses = jax.lax.cond(
-                no_ba | fail, lambda _: ba_pose, run_ba, operand=None
+            ba_out_poses, ba_rejected = jax.lax.cond(
+                no_ba | fail,
+                lambda _: (ba_pose, jnp.asarray(False)),
+                run_ba,
+                operand=None,
             )
+            no_ba = no_ba | ba_rejected  # rejected solve keeps procrustes pose
             pose_final = jnp.where(fail, state.prev_pose, ba_out_poses[new_idx])
 
             # scatter optimized keyframe poses back into the pool

@@ -63,3 +63,61 @@ class TestSolverVerification:
         info = verify_solution(inputs.poses, inputs, BundleConfig())
         assert float(info["high_residual_frac"]) > 0.4
         assert float(info["max_residual"]) > 0.5
+
+    @staticmethod
+    def _graph(corrupt: bool):
+        rng = np.random.RandomState(1)
+        K, M = 3, 64
+        pi, pj = np.triu_indices(K, k=1)
+        pts = rng.rand(len(pi), M, 3).astype(np.float32)
+        if corrupt:
+            # mutually inconsistent correspondences: no rigid motion fits,
+            # so post-solve residuals stay high
+            pts_j = pts + 0.2 * rng.randn(len(pi), M, 3).astype(np.float32)
+        else:
+            pts_j = pts.copy()
+        from bundletrack_tpu.solver import GraphInputs, SparseCorres
+
+        corres = SparseCorres(
+            pair_i=jnp.asarray(pi, jnp.int32),
+            pair_j=jnp.asarray(pj, jnp.int32),
+            pts_i=jnp.asarray(pts),
+            pts_j=jnp.asarray(pts_j),
+            valid=jnp.ones((len(pi), M), bool),
+        )
+        poses = np.stack([np.eye(4, dtype=np.float32)] * K)
+        poses[1, :3, 3] += 0.01  # slight perturbation for the solver to fix
+        return GraphInputs(
+            poses=jnp.asarray(poses),
+            frame_valid=jnp.ones(K, bool),
+            free_mask=jnp.asarray([False, True, True]),
+            corres=corres,
+        )
+
+    def test_verification_rejects_corrupted_solve(self):
+        """Corrupted correspondences -> solve rejected, poses unchanged
+        (reference useVerification, CUDASolverBundling.cpp:396-417)."""
+        from bundletrack_tpu.config import BundleConfig
+        from bundletrack_tpu.solver.gauss_newton import (
+            optimize_pose_graph_verified,
+        )
+
+        cfg = BundleConfig(use_verification=True)
+        inputs = self._graph(corrupt=True)
+        poses, rejected, _ = optimize_pose_graph_verified(inputs, cfg)
+        assert bool(rejected)
+        np.testing.assert_array_equal(np.asarray(poses), np.asarray(inputs.poses))
+
+    def test_verification_accepts_clean_solve(self):
+        from bundletrack_tpu.config import BundleConfig
+        from bundletrack_tpu.solver.gauss_newton import (
+            optimize_pose_graph_verified,
+        )
+
+        cfg = BundleConfig(use_verification=True)
+        inputs = self._graph(corrupt=False)
+        poses, rejected, info = optimize_pose_graph_verified(inputs, cfg)
+        assert not bool(rejected)
+        # the solve actually moved the perturbed pose back
+        assert not np.allclose(np.asarray(poses)[1], np.asarray(inputs.poses)[1])
+        assert float(info["high_residual_frac"]) < 0.05

@@ -101,6 +101,77 @@ class TestMasks:
         assert out[10, 10]
         assert not out[26, 26]
 
+    def test_dilate_does_not_wrap(self):
+        m = np.zeros((16, 16), bool)
+        m[0, 0] = True  # corner pixel: dilation must not bleed to other edges
+        out = np.asarray(dilate_mask(jnp.asarray(m), iterations=1, ksize=5))
+        assert out[:3, :3].all()
+        assert not out[-1].any() and not out[:, -1].any()
+
+    def test_largest_component_long_snake(self):
+        """Segmented-scan CC must label a >64-px-diameter component exactly
+        (the old fixed-64-iteration diffusion fragmented it)."""
+        m = np.zeros((40, 120), bool)
+        m[5, 2:118] = True   # long horizontal arm
+        m[5:35, 60] = True   # vertical arm
+        m[34, 10:110] = True  # return arm -> geodesic diameter ~250 px
+        m[2:4, 2:4] = True   # small separate blob
+        out = np.asarray(largest_component_fill(jnp.asarray(m)))
+        snake = m.copy()
+        snake[2:4, 2:4] = False
+        np.testing.assert_array_equal(out, snake)
+
+    def test_convex_hull_fill_matches_scipy(self):
+        from scipy.spatial import ConvexHull, Delaunay
+
+        from bundletrack_tpu.ops.masks import convex_hull_fill
+
+        rng = np.random.RandomState(3)
+        H, W = 48, 64
+        m = np.zeros((H, W), bool)
+        pts = np.stack(
+            [rng.randint(8, 40, 40), rng.randint(10, 54, 40)], axis=-1
+        )  # (h, w)
+        m[pts[:, 0], pts[:, 1]] = True
+        out = np.asarray(convex_hull_fill(jnp.asarray(m), num_dirs=256))
+        hull = Delaunay(np.stack([pts[:, 1], pts[:, 0]], -1))  # (w, h)
+        gw, gh = np.meshgrid(np.arange(W), np.arange(H))
+        inside = hull.find_simplex(np.stack([gw.ravel(), gh.ravel()], -1)) >= 0
+        inside = inside.reshape(H, W)
+        # outer approximation: every exact-hull pixel filled, and the
+        # boundary band of extra pixels stays thin
+        assert (out | ~inside).all()
+        assert (out & ~inside).sum() <= inside.sum() * 0.25
+
+    def test_convex_hull_empty(self):
+        from bundletrack_tpu.ops.masks import convex_hull_fill
+
+        out = np.asarray(convex_hull_fill(jnp.zeros((16, 16), bool)))
+        assert not out.any()
+
+    def test_preprocess_mask_nocs_chain(self):
+        """NOCS fixture: detached blob dropped, concavity filled, dilated
+        (reference Frame::segmentationByMaskFile, src/Frame.cpp:262-319)."""
+        from bundletrack_tpu.config import SegmentationConfig
+        from bundletrack_tpu.ops.masks import preprocess_mask
+
+        m = np.zeros((64, 64), bool)
+        # C-shaped main blob (concave)
+        m[10:50, 10:20] = True
+        m[10:20, 10:45] = True
+        m[40:50, 10:45] = True
+        # small detached blob far away
+        m[55:58, 55:58] = True
+        cfg = SegmentationConfig(seg_dilation_iter=1, nocs_mask_fill=True)
+        out = np.asarray(preprocess_mask(jnp.asarray(m), cfg))
+        assert out[30, 30]  # concavity filled by the hull
+        assert not out[56, 56]  # detached blob removed
+        assert out[8, 10]  # 5x5 dilation grew the boundary
+        # ycbineoat path: no CC/hull, just the single 5x5 dilate
+        cfg2 = SegmentationConfig()
+        out2 = np.asarray(preprocess_mask(jnp.asarray(m), cfg2))
+        assert out2[56, 56] and not out2[30, 30]
+
 
 class TestCropResize:
     def test_roundtrip_keypoints(self):
