@@ -1,30 +1,283 @@
 #!/usr/bin/env python
-"""Benchmark: single-stream tracking rate at reference scale on one TPU chip.
+"""Benchmark: tracking rate + north-star metrics on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Baseline: the reference's published end-to-end rate of 10 Hz on an RTX 3090
 (reference README.md:8, "real-time performance of 10Hz for the entire
-framework").  Scale mirrors BASELINE.md's per-frame envelope: 480x640 RGB-D,
-512 keypoints x 256-d descriptors, <=16-frame pose graph (105+ pairs),
-2000-trial RANSAC, 7x5 solver iterations, dense term at 120x160.
+framework" — that rate INCLUDES LF-Net inference).  The headline metric is
+therefore the full pipeline with the learned LF-Net frontend inside the
+jitted per-frame step when trained weights are present
+(checkpoints/lfnet_params.npz); the classical-frontend rate and the
+BASELINE.md north-star numbers (fleet aggregate fps, solver solves/s,
+LF-Net forward latency, frontend quality metrics) ride along in "extra".
+
+Scale mirrors BASELINE.md's per-frame envelope: 480x640 RGB-D, 512 keypoints
+x 256-d descriptors, <=16-frame pose graph (120 pairs), 2000-trial RANSAC,
+7x5 solver iterations, dense term at 120x160.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+LFNET_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "checkpoints", "lfnet_params.npz")
 
-def main():
+
+def _bench_tracking(cfg, seq, raw, lfnet_apply=None):
+    """Track the sequence once; returns (steady-state fps, ADD-S AUC)."""
+    from bundletrack_tpu.eval import adds_auc
+    from bundletrack_tpu.tracker.driver import Tracker
+    from bundletrack_tpu.utils.timing import hard_sync
+
+    gray_u8, depth_u16, init_pose = raw
+    n_frames = seq.gray.shape[0]
+    H, W = seq.gray.shape[1:]
+    tracker = Tracker(cfg, H, W, lfnet_apply=lfnet_apply)
+    n_warm = 4  # first frames trigger compilation of both cond branches
+    for f in range(n_warm):
+        out = tracker.process_frame(
+            gray_u8[f], depth_u16[f], seq.mask[f], seq.K, init_pose=init_pose
+        )
+    hard_sync(out)
+    t0 = time.perf_counter()
+    for f in range(n_warm, n_frames):
+        out = tracker.process_frame(
+            gray_u8[f], depth_u16[f], seq.mask[f], seq.K, init_pose=init_pose
+        )
+    # tracker state chains frame->frame, so a host readback of the last
+    # output fences every frame's device work (block_until_ready is not a
+    # reliable fence on the remote-tunnel PJRT platform)
+    hard_sync(out)
+    dt = time.perf_counter() - t0
+    fps = (n_frames - n_warm) / dt
+    statuses = [int(np.asarray(o.status)) for o in tracker.outputs]
+    rng = np.random.RandomState(0)
+    model_pts = (rng.rand(500, 3).astype(np.float32) - 0.5) * 0.2
+    auc = adds_auc(
+        [np.asarray(o.ob_in_cam) for o in tracker.outputs],
+        list(seq.ob_in_cam), model_pts,
+    )
+    print(f"[bench] {n_frames - n_warm} frames in {dt:.3f}s -> {fps:.2f} fps; "
+          f"ADD-S AUC {auc:.2f}; "
+          f"bad_statuses={sum(1 for s in statuses if s != 0)}/{len(statuses)}",
+          file=sys.stderr)
+    return fps, auc
+
+
+def _bench_fleet(cfg, seq, S):
+    """Aggregate fps tracking S identical streams batched on one chip."""
+    import jax.numpy as jnp
+
+    from bundletrack_tpu.parallel import init_fleet_state, make_fleet_step
+    from bundletrack_tpu.tracker.state import FrameObservation
+    from bundletrack_tpu.utils.timing import hard_sync
+
+    H, W = seq.gray.shape[1:]
+    step = make_fleet_step(cfg, H, W)
+    state = init_fleet_state(cfg, H, W, S)
+    tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (S,) + a.shape)
+    init_pose = tile(np.linalg.inv(seq.ob_in_cam[0]))
+    n_frames = seq.gray.shape[0]
+
+    def obs(f):
+        return FrameObservation(
+            gray=tile(seq.gray[f]), depth=tile(seq.depth[f]),
+            mask=tile(seq.mask[f]), K=tile(seq.K),
+        )
+
+    for f in range(2):
+        state, out = step(state, obs(f), init_pose)
+    hard_sync(out)
+    t0 = time.perf_counter()
+    for f in range(2, n_frames):
+        state, out = step(state, obs(f), init_pose)
+    hard_sync(out)
+    dt = time.perf_counter() - t0
+    fps = S * (n_frames - 2) / dt
+    print(f"[bench] fleet S={S}: {fps:.2f} aggregate fps", file=sys.stderr)
+    return fps
+
+
+def _bench_solver(cfg):
+    """Pose-graph solves/s at reference scale (K=16, 120 pairs + dense term)."""
     import jax
     import jax.numpy as jnp
 
+    from bundletrack_tpu.solver import GraphInputs, SparseCorres
+    from bundletrack_tpu.solver.dense_p2p import compact_frame, stack_frame_dense
+    from bundletrack_tpu.solver.gauss_newton import optimize_pose_graph
+    from bundletrack_tpu.utils.timing import hard_sync
+
+    rng = np.random.RandomState(0)
+    K_BA, M = cfg.bundle.max_ba_frames, cfg.shapes.max_matches
+    pi, pj = np.triu_indices(K_BA, k=1)
+    P = len(pi)
+    pts = rng.rand(P, M, 3).astype(np.float32)
+    corres = SparseCorres(
+        pair_i=jnp.asarray(pi, np.int32), pair_j=jnp.asarray(pj, np.int32),
+        pts_i=jnp.asarray(pts),
+        pts_j=jnp.asarray(pts + 0.002 * rng.randn(P, M, 3).astype(np.float32)),
+        valid=jnp.ones((P, M), bool),
+    )
+    Hl, Wl = 120, 160
+    depth = 0.5 + 0.1 * rng.rand(K_BA, Hl, Wl).astype(np.float32)
+    fds = [
+        compact_frame(
+            jnp.stack([jnp.zeros((Hl, Wl))] * 2 + [jnp.asarray(depth[k])], -1),
+            jnp.concatenate(
+                [jnp.zeros((Hl, Wl, 2)), -jnp.ones((Hl, Wl, 1))], -1
+            ),
+            jnp.ones((Hl, Wl), bool),
+            cfg.bundle.dense_src_capacity,
+        )
+        for k in range(K_BA)
+    ]
+    dense = stack_frame_dense(
+        jnp.stack([f.src for f in fds]), jnp.stack([f.valid for f in fds]),
+        jnp.stack([f.lin for f in fds]), jnp.stack([f.tchan for f in fds]),
+    )
+    K_low = jnp.asarray(
+        [[100.0, 0, Wl / 2], [0, 100.0, Hl / 2], [0, 0, 1]], jnp.float32
+    )
+    poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K_BA, 4, 4))
+    inputs = GraphInputs(
+        poses=poses, frame_valid=jnp.ones(K_BA, bool),
+        free_mask=jnp.asarray([False] + [True] * (K_BA - 1)),
+        corres=corres, dense_compact=dense, K_lowres=K_low,
+    )
+    solve = jax.jit(lambda inp: optimize_pose_graph(inp, cfg.bundle)[0])
+    out = solve(inputs)
+    hard_sync(out)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = solve(inputs)
+    hard_sync(out)
+    rate = n / (time.perf_counter() - t0)
+    print(f"[bench] solver: {rate:.1f} solves/s (K=16, 120 pairs, dense)",
+          file=sys.stderr)
+    return rate
+
+
+def _bench_lfnet_forward(fcfg, params):
+    """Mean LF-Net forward latency at serving size (reference
+    test_lfnet_speed.py protocol)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bundletrack_tpu.frontend.lfnet import LFNet
+    from bundletrack_tpu.utils.timing import hard_sync
+
+    model = LFNet(fcfg)
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    # ship the weights once — passing numpy params re-transfers ~10 MB over
+    # the host tunnel per call and dominates the measurement
+    params = jax.device_put(params)
+    x = jnp.zeros((1, fcfg.input_size, fcfg.input_size, 1), jnp.float32)
+    hard_sync(fwd(params, x))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = fwd(params, x)
+    hard_sync(out)
+    ms = (time.perf_counter() - t0) / 20 * 1000
+    print(f"[bench] lfnet {fcfg.input_size}^2 forward: {ms:.2f} ms", file=sys.stderr)
+    return ms
+
+
+def _bench_cpu_mesh_scaling():
+    """8-virtual-device fleet scaling efficiency, measured in a CPU
+    subprocess (the TPU process cannot host a CPU mesh)."""
+    code = r"""
+import os, sys, time, json
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from bundletrack_tpu.config import BundleConfig, TrackerConfig, ShapeConfig
+from bundletrack_tpu.data import render_synthetic_sequence
+from bundletrack_tpu.parallel import init_fleet_state, make_mesh, make_fleet_step
+from bundletrack_tpu.tracker.state import FrameObservation
+
+H, W = 96, 128
+cfg = TrackerConfig(shapes=ShapeConfig(image_h=H, image_w=W),
+                    bundle=BundleConfig(dense_src_capacity=512))
+seq = render_synthetic_sequence(num_frames=8, H=H, W=W, orbit_deg_per_frame=2.0)
+init = np.linalg.inv(seq.ob_in_cam[0])
+
+def run(n_dev, S):
+    mesh = make_mesh({"stream": n_dev}) if n_dev > 1 else None
+    step = make_fleet_step(cfg, H, W, mesh=mesh)
+    state = init_fleet_state(cfg, H, W, S)
+    tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (S,) + a.shape)
+    ip = tile(init)
+    def obs(f):
+        return FrameObservation(gray=tile(seq.gray[f]), depth=tile(seq.depth[f]),
+                                mask=tile(seq.mask[f]), K=tile(seq.K))
+    state, out = step(state, obs(0), ip)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for f in range(1, 8):
+        state, out = step(state, obs(f), ip)
+    jax.block_until_ready(out)
+    return S * 7 / (time.perf_counter() - t0)
+
+r1 = run(1, 1)
+r8 = run(8, 8)
+print(json.dumps({"fps_1dev_s1": r1, "fps_8dev_s8": r8,
+                  "scaling_eff": r8 / (8 * r1)}))
+"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=900, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        d = json.loads(line)
+        # NOTE: the 8 virtual CPU devices share ONE host's cores, so this is
+        # an executability check of the sharded fleet step, not a throughput
+        # scaling measurement; cross-chip stream sharding has zero
+        # cross-stream collectives, so real scaling is communication-free.
+        print(f"[bench] cpu-mesh 8dev fleet step: ok "
+              f"(1dev {d['fps_1dev_s1']:.2f} fps, 8dev shared-core "
+              f"{d['fps_8dev_s8']:.2f} aggregate)", file=sys.stderr)
+        return d
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"[bench] cpu-mesh fleet step failed: {e}", file=sys.stderr)
+        return None
+
+
+def _frontend_quality(lfnet_apply):
+    """Repeatability / matching-inlier-rate: classical vs learned frontend."""
+    from bundletrack_tpu.config import FrontendConfig
+    from bundletrack_tpu.data import render_synthetic_sequence
+    from bundletrack_tpu.eval import evaluate_frontend
+
+    seq = render_synthetic_sequence(num_frames=5, H=240, W=320,
+                                    orbit_deg_per_frame=4.0, seed=123)
+    out = {}
+    out["classical"] = evaluate_frontend(
+        seq, FrontendConfig(kind="classical"), gap=1, eps_px=3.0)
+    if lfnet_apply is not None:
+        out["lfnet"] = evaluate_frontend(
+            seq, FrontendConfig(kind="lfnet"), lfnet_apply=lfnet_apply,
+            gap=1, eps_px=3.0)
+    for k, v in out.items():
+        print(f"[bench] frontend {k}: repeat={v['repeatability']:.3f} "
+              f"inlier={v['inlier_rate']:.3f} n={v['n_matches']:.0f}",
+              file=sys.stderr)
+    return out
+
+
+def main():
     from bundletrack_tpu.config import BundleConfig, TrackerConfig, ShapeConfig
     from bundletrack_tpu.data import render_synthetic_sequence
-    from bundletrack_tpu.tracker.driver import Tracker
-    from bundletrack_tpu.tracker.state import FrameObservation
 
     H, W = 480, 640
     # dense_src_capacity 2048: validated sub-mm-identical to the default 4096
@@ -43,114 +296,54 @@ def main():
     # dtype conversion runs on device fused into the step
     gray_u8 = (seq.gray * 255.0 + 0.5).astype(np.uint8)
     depth_u16 = (seq.depth * 1000.0 + 0.5).astype(np.uint16)
+    raw = (gray_u8, depth_u16, init_pose)
 
-    tracker = Tracker(cfg, H, W)
+    extra = {}
+    fps_c, auc_c = _bench_tracking(cfg, seq, raw)
+    extra["classical_fps"] = round(fps_c, 2)
+    extra["classical_adds_auc"] = round(auc_c, 2)
 
-    from bundletrack_tpu.utils.timing import hard_sync
+    lfnet_apply = None
+    lf_fcfg = None
+    if os.path.exists(LFNET_CKPT):
+        from bundletrack_tpu.config import FrontendConfig
+        from bundletrack_tpu.frontend import load_params_npz, make_lfnet_apply
 
-    # warmup: first frames trigger compilation of both cond branches
-    n_warm = 4
-    for f in range(n_warm):
-        out = tracker.process_frame(
-            gray_u8[f], depth_u16[f], seq.mask[f], seq.K, init_pose=init_pose
-        )
-    hard_sync(out)
+        lf_fcfg = FrontendConfig(kind="lfnet")
+        _, lf_params = load_params_npz(LFNET_CKPT, lf_fcfg)
+        lfnet_apply = make_lfnet_apply(lf_fcfg, lf_params)
+        lf_cfg = cfg.replace(frontend=lf_fcfg)
+        fps_l, auc_l = _bench_tracking(lf_cfg, seq, raw, lfnet_apply=lfnet_apply)
+        extra["lfnet_fps"] = round(fps_l, 2)
+        extra["lfnet_adds_auc"] = round(auc_l, 2)
+        extra["lfnet_forward_ms"] = round(_bench_lfnet_forward(lf_fcfg, lf_params), 2)
 
-    t0 = time.perf_counter()
-    for f in range(n_warm, n_frames):
-        out = tracker.process_frame(
-            gray_u8[f], depth_u16[f], seq.mask[f], seq.K, init_pose=init_pose
-        )
-    # tracker state chains frame->frame, so a host readback of the last
-    # output fences every frame's device work (block_until_ready is not a
-    # reliable fence on the remote-tunnel PJRT platform)
-    hard_sync(out)
-    dt = time.perf_counter() - t0
-    timed = n_frames - n_warm
-    fps = timed / dt
+    fq = _frontend_quality(lfnet_apply)
+    extra["frontend_quality"] = fq
 
-    statuses = [int(np.asarray(o.status)) for o in tracker.outputs]
-    print(
-        f"[bench] {timed} frames in {dt:.3f}s -> {fps:.2f} fps; "
-        f"statuses={statuses}",
-        file=sys.stderr,
+    extra["solver_solves_per_s"] = round(_bench_solver(cfg), 1)
+    for S in (4, 8):
+        extra[f"fleet_fps_s{S}"] = round(_bench_fleet(cfg, seq, S), 2)
+    # chip utilization gain from stream batching (one chip; cross-chip
+    # stream sharding is communication-free so multi-chip throughput is
+    # N_chips * these numbers)
+    extra["fleet_batching_gain_s4"] = round(
+        extra["fleet_fps_s4"] / extra["classical_fps"], 2
     )
+    scal = _bench_cpu_mesh_scaling()
+    extra["sharded_fleet_8dev_ok"] = bool(scal)
 
-    print(
-        json.dumps(
-            {
-                "metric": "single_stream_tracking_rate_480x640",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 10.0, 3),
-            }
-        )
-    )
-
-    if os.environ.get("BENCH_FULL"):
-        _secondary_benches(cfg, seq)
-
-
-def _secondary_benches(cfg, seq):
-    """Extra numbers on stderr: fleet throughput, solver rate, LF-Net latency."""
-    import jax
-    import jax.numpy as jnp
-
-    from bundletrack_tpu.parallel import init_fleet_state, make_fleet_step
-    from bundletrack_tpu.tracker.state import FrameObservation
-
-    H, W = seq.gray.shape[1:]
-    S = 4
-    step = make_fleet_step(cfg, H, W)
-    state = init_fleet_state(cfg, H, W, S)
-    tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (S,) + a.shape)
-    init_pose = tile(np.linalg.inv(seq.ob_in_cam[0]))
-    n_frames = seq.gray.shape[0]
-    for f in range(2):
-        obs = FrameObservation(
-            gray=tile(seq.gray[f]), depth=tile(seq.depth[f]),
-            mask=tile(seq.mask[f]), K=tile(seq.K),
-        )
-        state, out = step(state, obs, init_pose)
-    from bundletrack_tpu.utils.timing import hard_sync
-    hard_sync(out)
-    t0 = time.perf_counter()
-    timed = 0
-    for f in range(2, n_frames):
-        obs = FrameObservation(
-            gray=tile(seq.gray[f]), depth=tile(seq.depth[f]),
-            mask=tile(seq.mask[f]), K=tile(seq.K),
-        )
-        state, out = step(state, obs, init_pose)
-        timed += 1
-    hard_sync(out)
-    dt = time.perf_counter() - t0
-    print(
-        f"[bench] fleet S={S}: {S * timed / dt:.2f} aggregate fps "
-        f"({timed / dt:.2f} steps/s)",
-        file=sys.stderr,
-    )
-
-    # LF-Net forward latency (reference test_lfnet_speed.py protocol: mean
-    # forward time at serving size)
-    from bundletrack_tpu.config import FrontendConfig
-    from bundletrack_tpu.frontend.lfnet import init_lfnet
-
-    fcfg = FrontendConfig(kind="lfnet")
-    model, params = init_lfnet(fcfg)
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-    x = jnp.zeros((1, fcfg.input_size, fcfg.input_size, 1), jnp.float32)
-    hard_sync(fwd(params, x))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = fwd(params, x)
-    # same-device executions serialize in dispatch order, so fencing the
-    # last call fences all 20
-    hard_sync(out)
-    print(
-        f"[bench] lfnet 400x400 forward: {(time.perf_counter() - t0) / 20 * 1000:.2f} ms",
-        file=sys.stderr,
-    )
+    if "lfnet_fps" in extra:
+        metric, value = "single_stream_tracking_rate_480x640_lfnet", extra["lfnet_fps"]
+    else:
+        metric, value = "single_stream_tracking_rate_480x640", extra["classical_fps"]
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": "frames/s",
+        "vs_baseline": round(value / 10.0, 3),
+        "extra": extra,
+    }))
 
 
 if __name__ == "__main__":

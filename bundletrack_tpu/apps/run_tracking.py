@@ -28,7 +28,17 @@ def main(argv=None):
     parser.add_argument("config", help="reference-format YAML config")
     parser.add_argument("--dataset", choices=["ycbineoat", "nocs", "auto"], default="auto")
     parser.add_argument("--max-frames", type=int, default=0)
+    parser.add_argument(
+        "--frontend", choices=["config", "classical", "lfnet"], default="config",
+        help="keypoint frontend; 'config' uses the YAML/preset setting",
+    )
+    parser.add_argument(
+        "--lfnet-ckpt", default="checkpoints/lfnet_params.npz",
+        help="trained LF-Net weights (npz) for --frontend lfnet",
+    )
     args = parser.parse_args(argv)
+
+    import dataclasses
 
     from bundletrack_tpu.config import load_config, nocs_config, ycbineoat_config
     from bundletrack_tpu.tracker.driver import Tracker
@@ -44,6 +54,20 @@ def main(argv=None):
 
     base = nocs_config() if dataset == "nocs" else ycbineoat_config()
     cfg = load_config(raw, base)
+
+    # learned frontend (reference serves LF-Net over ZMQ, run_server.py:136-177;
+    # here the net runs in-process inside the jitted tracker step)
+    lfnet_apply = None
+    if args.frontend != "config":
+        cfg = cfg.replace(
+            frontend=dataclasses.replace(cfg.frontend, kind=args.frontend)
+        )
+    if cfg.frontend.kind == "lfnet":
+        from bundletrack_tpu.frontend import load_params_npz, make_lfnet_apply
+
+        _, lf_params = load_params_npz(args.lfnet_ckpt, cfg.frontend)
+        lfnet_apply = make_lfnet_apply(cfg.frontend, lf_params)
+        print(f"[run_tracking] lfnet frontend: {args.lfnet_ckpt}", file=sys.stderr)
 
     if dataset == "nocs":
         from bundletrack_tpu.data.nocs import NocsLoader
@@ -66,7 +90,7 @@ def main(argv=None):
     H, W = first.gray.shape
     print(f"[run_tracking] {dataset}: {n} frames at {W}x{H}", file=sys.stderr)
 
-    tracker = Tracker(cfg, H, W)
+    tracker = Tracker(cfg, H, W, lfnet_apply=lfnet_apply)
     out_dir = cfg.debug_dir
     os.makedirs(os.path.join(out_dir, "poses"), exist_ok=True)
 

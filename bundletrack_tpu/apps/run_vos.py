@@ -67,10 +67,20 @@ def main(argv=None):
 
     model = VOSNet()
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
-    if args.checkpoint:
+    default_npz = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "checkpoints", "vos_params.npz",
+    )
+    ckpt = args.checkpoint or (default_npz if os.path.exists(default_npz) else "")
+    if ckpt.endswith(".npz"):
+        from bundletrack_tpu.utils.params_io import load_params_npz
+
+        params = load_params_npz(ckpt, params)
+        print(f"[run_vos] weights: {ckpt}", file=sys.stderr)
+    elif ckpt:
         from bundletrack_tpu.utils.checkpoint import restore_tracker_state
 
-        params = restore_tracker_state(args.checkpoint, params)
+        params = restore_tracker_state(ckpt, params)
     else:
         print(
             "[run_vos] WARNING: no --checkpoint given; using untrained weights "

@@ -27,19 +27,25 @@ import time
 
 
 def build_batches(size: int, batch: int, num_seqs: int, seed: int):
-    """Pre-render a pool of warp-annotated pairs to cycle through."""
+    """Pre-render a pool of warp-annotated pairs to cycle through.
+
+    Pairs mix baselines (frame gaps 1-4, i.e. up to ~20 deg relative
+    rotation) so the descriptor sees both the tracking regime (neighbor
+    frames) and keyframe-pair viewpoint changes."""
     import numpy as np
 
     from bundletrack_tpu.data import render_synthetic_sequence
     from bundletrack_tpu.data.pairs import lfnet_pair_batch
 
     pool = []
+    gaps = [1, 1, 2, 3, 4]
     for s in range(num_seqs):
+        max_gap = gaps[-1]
         seq = render_synthetic_sequence(
-            num_frames=batch + 1, H=size, W=size, seed=seed + s,
+            num_frames=batch + max_gap, H=size, W=size, seed=seed + s,
             orbit_deg_per_frame=3.0 + 0.5 * (s % 5),
         )
-        pairs = [(i, i + 1) for i in range(batch)]
+        pairs = [(i, i + gaps[(s + i) % len(gaps)]) for i in range(batch)]
         pool.append(lfnet_pair_batch(seq, pairs))
     return pool
 
@@ -50,6 +56,8 @@ def main(argv=None):
     parser.add_argument("--size", type=int, default=96, help="square image size")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--lr-decay", choices=["none", "cosine"], default="cosine",
+                        help="cosine-decay the lr to lr/10 over --steps")
     parser.add_argument("--top-k", type=int, default=128)
     parser.add_argument("--desc-dim", type=int, default=256)
     parser.add_argument("--num-seqs", type=int, default=8)
@@ -78,7 +86,11 @@ def main(argv=None):
         desc_dim=args.desc_dim,
     )
     model, params = init_lfnet(cfg, key=jax.random.PRNGKey(args.seed))
-    tx = optax.adam(args.lr)
+    if args.lr_decay == "cosine":
+        sched = optax.cosine_decay_schedule(args.lr, max(args.steps, 1), alpha=0.1)
+        tx = optax.adam(sched)
+    else:
+        tx = optax.adam(args.lr)
 
     n_dev = jax.device_count()
     if args.mesh == "none" or n_dev == 1:

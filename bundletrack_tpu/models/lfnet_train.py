@@ -94,8 +94,19 @@ def lfnet_loss(params, model: LFNet, batch: LFNetTrainBatch, temperature=0.1):
     )
     K = kp1.shape[1]
     batch_inds = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+    # crop the correspondent patches with image-2's OWN predicted scale and
+    # orientation at the warped locations — the same transform chain the
+    # inference pipeline applies (LFNet.__call__), so the descriptor learns
+    # invariance through the scale/ori heads rather than around them
+    scale2 = _gather_bilinear(ep2["max_scale"][..., None], corr)[..., 0]
+    ori2 = _gather_bilinear(ep2["ori_maps"], corr)
+    ori2 = ori2 / jnp.maximum(
+        jnp.linalg.norm(ori2, axis=-1, keepdims=True), 1e-6
+    )
     patches2 = transformer_crop(
-        ep2["photos_n"], cfg.patch_size, batch_inds, corr.reshape(-1, 2)
+        ep2["photos_n"], cfg.patch_size, batch_inds, corr.reshape(-1, 2),
+        kpts_scale=jax.lax.stop_gradient(scale2.reshape(-1)),
+        kpts_ori=jax.lax.stop_gradient(ori2.reshape(-1, 2)),
     )
     # reuse the descriptor tower on the warped patches
     desc2 = model.apply({"params": params}, patches2, method=LFNet.describe_patches)

@@ -156,6 +156,8 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
             new_state = new_state._replace(
                 frame_count=jnp.asarray(1, jnp.int32),
                 last_status=jnp.asarray(STATUS_OK, jnp.int32),
+                prev_delta=jnp.eye(4, dtype=pose0.dtype),
+                pred_pose=pose0,
             )
             out = TrackOutput(
                 ob_in_cam=se3_inverse(pose0),
@@ -170,7 +172,15 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
             # ---- neighbor matching + RANSAC + Procrustes init ------------
             fc = cfg.feature_corres
             rc = cfg.ransac
-            pose_init = state.prev_pose  # reference inits to last pose
+            # constant-velocity pose prediction (deviation from the
+            # reference, which inits to the last pose, src/Bundler.cpp:67):
+            # pred_pose advances by the last inter-frame delta each frame —
+            # including FAIL frames — so after an occlusion the prediction
+            # tracks the true motion and the reference-width match/RANSAC
+            # gates still contain the correct re-acquisition model (gate
+            # widths stay compile-time constants; traced widths ballooned
+            # XLA compile 5x).
+            pose_init = state.pred_pose
             nb = match_pair(
                 feats.desc, feats.pts, feats.normals, feats.valid, pose_init,
                 state.prev_desc, state.prev_pts, state.prev_normals,
@@ -183,9 +193,13 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
             pb = state.prev_pts[nb.idx_b]
             na = feats.normals[nb.idx_a]
             nbn = state.prev_normals[nb.idx_b]
+            # prior maps new-frame camera points into prev-frame camera
+            # points under the prediction: p_prev^-1 @ p̂_new  (= identity
+            # when the prediction equals the last pose)
+            prior_nb = se3_compose(se3_inverse(state.prev_pose), pose_init)
             rr = ransac_pair(
                 k_neighbor, pa, pb, na, nbn, nb.valid,
-                jnp.eye(4),  # prior: new cam ~ prev cam
+                prior_nb,
                 num_trials=rc.max_iter,
                 inlier_dist=rc.inlier_dist,
                 inlier_normal_deg=rc.inlier_normal_angle,
@@ -198,6 +212,19 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                 rr.valid, se3_compose(state.prev_pose, T_new_to_prev), pose_init
             )
             fail = (~rr.valid) | (~roi_ok) | (n_feat < 5)
+            # reinit gate: after a FAIL, a weak re-acquisition must not lock
+            # in a wrong pose — demand reinit_min_matches inliers to resume,
+            # decaying by one per extra FAIL frame (escalating patience) so a
+            # hard viewpoint cannot stall recovery forever.  Consumes
+            # need_reinit; the reference only ever sets it
+            # (src/Bundler.cpp:96-101).
+            patience = 5
+            required = jnp.maximum(
+                cfg.ransac.min_match_after_ransac,
+                cfg.ransac.reinit_min_matches
+                - jnp.maximum(state.fail_streak - patience, 0),
+            )
+            fail = fail | (state.need_reinit & (rr.num_inliers < required))
 
             # ---- BA subset + edges ---------------------------------------
             slots, sel_valid = select_ba_subset(
@@ -354,10 +381,32 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
             st_prev = _set_prev(st, feats, pose_final)
             st = jax.tree.map(lambda a, b: jnp.where(~fail, a, b), st_prev, st)
 
+            # constant-velocity model update: delta re-estimated on a normal
+            # OK frame, reset to identity on the recovery frame (the k-frame
+            # motion is not a per-frame delta), held during FAIL; prediction
+            # advances by delta every frame including FAILs
+            is_fail = status == STATUS_FAIL
+            delta_ok = jnp.where(
+                state.fail_streak == 0,
+                se3_compose(pose_final, se3_inverse(state.prev_pose)),
+                jnp.eye(4, dtype=pose_final.dtype),
+            )
+            new_delta = jnp.where(is_fail, state.prev_delta, delta_ok)
+            new_pred = jnp.where(
+                is_fail,
+                se3_compose(state.prev_delta, state.pred_pose),
+                se3_compose(new_delta, pose_final),
+            )
             st = st._replace(
                 frame_count=st.frame_count + 1,
                 last_status=status,
-                need_reinit=st.need_reinit | (status == STATUS_FAIL),
+                # set on FAIL, cleared by a successful (strong) re-acquisition
+                need_reinit=is_fail,
+                fail_streak=jnp.where(is_fail, st.fail_streak + 1, 0).astype(
+                    jnp.int32
+                ),
+                prev_delta=new_delta,
+                pred_pose=new_pred,
             )
             out = TrackOutput(
                 ob_in_cam=se3_inverse(pose_final),

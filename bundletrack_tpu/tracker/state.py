@@ -62,6 +62,11 @@ class TrackerState(NamedTuple):
     frame_count: jnp.ndarray  # scalar int32
     last_status: jnp.ndarray  # scalar int32
     need_reinit: jnp.ndarray  # scalar bool (reference _need_reinit)
+    fail_streak: jnp.ndarray  # scalar int32: consecutive FAIL frames
+    # constant-velocity motion model: last inter-frame delta (model frame,
+    # left-composed) and the prediction for the NEXT incoming frame
+    prev_delta: jnp.ndarray  # [4, 4]
+    pred_pose: jnp.ndarray  # [4, 4]
     rng_key: jnp.ndarray  # PRNG state for RANSAC
 
 
@@ -105,5 +110,8 @@ def init_tracker_state(cfg: TrackerConfig, H: int, W: int, seed: int = 0) -> Tra
         frame_count=jnp.asarray(0, jnp.int32),
         last_status=jnp.asarray(STATUS_OK, jnp.int32),
         need_reinit=jnp.asarray(False),
+        fail_streak=jnp.asarray(0, jnp.int32),
+        prev_delta=jnp.eye(4, dtype=jnp.float32),
+        pred_pose=jnp.eye(4, dtype=jnp.float32),
         rng_key=jax.random.PRNGKey(seed),
     )

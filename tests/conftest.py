@@ -20,3 +20,9 @@ import jax  # noqa: E402
 # start; the config knob below wins over it and pins tests to host CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles of
+# the big tracker/fleet programs; with a warm cache the full suite drops from
+# ~20 min to a few min.  Keyed by HLO hash, so stale entries are harmless.
+jax.config.update("jax_compilation_cache_dir", "/tmp/bundletrack_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

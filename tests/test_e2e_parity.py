@@ -1,0 +1,86 @@
+"""End-to-end parity harness: on-disk sequence -> CLI chain -> eval AUC.
+
+The full reference pipeline shape (reference: scripts/run_ycbineoat.py:49-72
+composes a YAML and launches the tracker binary; the tracker writes
+poses/<id>.txt per frame, src/Bundler.cpp:362-377; scripts/eval_ycbineoat.py
+:105-164 scores them against annotated_poses with ADD/ADD-S AUC):
+
+    synthetic renderer -> YCBInEOAT-format files on disk (own PNG codec)
+    -> YAML config -> run_tracking CLI (loader + native IO + jitted tracker)
+    -> pose txt files -> eval_ycbineoat CLI -> ADD-S AUC.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from bundletrack_tpu.data import render_synthetic_sequence
+from bundletrack_tpu.data.export import (
+    cube_model_points,
+    export_ycbineoat_sequence,
+)
+
+
+class TestE2EParity:
+    @pytest.fixture(scope="class")
+    def seq_dir(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ycbineoat_mini")
+        seq = render_synthetic_sequence(
+            num_frames=14, H=120, W=160, orbit_deg_per_frame=3.0
+        )
+        export_ycbineoat_sequence(seq, str(root / "bleach_mini"))
+        return str(root / "bleach_mini")
+
+    def test_export_roundtrip(self, seq_dir):
+        """The exported files read back exactly through the dataset loader."""
+        from bundletrack_tpu.data.ycbineoat import YcbineoatLoader
+
+        loader = YcbineoatLoader(seq_dir)
+        assert len(loader) == 14
+        fd = loader[3]
+        assert fd.depth.shape == (120, 160)
+        assert fd.mask.any()
+        # depth readback: u16 mm quantization only
+        seq = render_synthetic_sequence(
+            num_frames=14, H=120, W=160, orbit_deg_per_frame=3.0
+        )
+        valid = seq.depth[3] > 0.1
+        assert np.abs(fd.depth - seq.depth[3])[valid].max() < 1e-3
+        gt = loader.gt_pose(3)
+        np.testing.assert_allclose(gt, seq.ob_in_cam[3], atol=1e-6)
+
+    def test_cli_chain_adds_auc(self, seq_dir, tmp_path):
+        """config YAML -> run_tracking -> pose txts -> eval: ADD-S AUC > 90."""
+        from bundletrack_tpu.apps.eval_ycbineoat import evaluate
+        from bundletrack_tpu.apps.run_tracking import main as run_tracking
+
+        out_dir = str(tmp_path / "out")
+        cfg_yaml = str(tmp_path / "config.yml")
+        # reference-format YAML (config_ycbineoat.yml schema)
+        with open(cfg_yaml, "w") as f:
+            yaml.safe_dump(
+                {
+                    "data_dir": seq_dir,
+                    "mask_dir": os.path.join(seq_dir, "masks"),
+                    "debug_dir": out_dir,
+                    "LOG": 0,
+                    "bundle": {"num_iter_outter": 7, "max_BA_frames": 16},
+                },
+                f,
+            )
+        run_tracking([cfg_yaml, "--dataset", "ycbineoat"])
+
+        pose_dir = os.path.join(out_dir, "poses")
+        assert len(os.listdir(pose_dir)) == 14
+        res = evaluate(
+            pose_dir,
+            os.path.join(seq_dir, "annotated_poses"),
+            cube_model_points(),
+        )
+        print(json.dumps(res))
+        assert res["missing"] == 0
+        assert res["ADDS_AUC"] > 90.0, res
+        assert res["ADD_AUC"] > 80.0, res
