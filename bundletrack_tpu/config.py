@@ -208,7 +208,12 @@ class SegmentationConfig:
     ref_num: int = 9
     sigma1: float = 8.0
     sigma2: float = 21.0
-    temperature: float = 1.0
+    # the reference uses temperature 1.0 on UNNORMALIZED ResNet features
+    # (large-magnitude logits); our VOSNet l2-normalizes features, so the
+    # cosine similarities in [-1, 1] need a sharper temperature or the
+    # attention is near-uniform and propagation decays (measured: IoU 0.01
+    # at T=1 vs 0.85 at T<=0.2 with the same weights)
+    temperature: float = 0.05
     range_: int = 40
     downscale: int = 8
 

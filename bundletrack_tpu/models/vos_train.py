@@ -50,7 +50,7 @@ def vos_loss(
     w_sigma1: jnp.ndarray,
     w_sigma2: jnp.ndarray,
     num_labels: int = 2,
-    temperature: float = 1.0,
+    temperature: float = 0.05,  # cosine-feature scale; see SegmentationConfig
     dense_num: int = 4,
 ):
     B, T, H, W, _ = batch.clips.shape
