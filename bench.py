@@ -278,6 +278,9 @@ def _frontend_quality(lfnet_apply):
 def main():
     from bundletrack_tpu.config import BundleConfig, TrackerConfig, ShapeConfig
     from bundletrack_tpu.data import render_synthetic_sequence
+    from bundletrack_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     H, W = 480, 640
     # dense_src_capacity 2048: validated sub-mm-identical to the default 4096

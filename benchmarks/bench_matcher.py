@@ -11,10 +11,13 @@ Usage: python benchmarks/bench_matcher.py [--pairs 120] [--n 512] [--d 256]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_inputs(K, N, D, seed=0):

@@ -72,11 +72,16 @@ def main(argv=None):
     if dataset == "nocs":
         from bundletrack_tpu.data.nocs import NocsLoader
 
+        # GT ob_in_cam poses for the init pose (reference converts NOCS GT
+        # to text poses and reads frame 0, src/DataLoader.cpp:80-86); we
+        # look for a gt_poses/ dir next to the scene dir
+        gt_dir = os.path.join(os.path.dirname(cfg.data_dir.rstrip("/")), "gt_poses")
         loader = NocsLoader(
             cfg.data_dir,
             cfg.model_name,
             mask_dir=cfg.mask_dir or None,
             use_6pack_datalist=cfg.use_6pack_datalist,
+            gt_dir=gt_dir if os.path.isdir(gt_dir) else None,
         )
     else:
         from bundletrack_tpu.data.ycbineoat import YcbineoatLoader

@@ -48,7 +48,15 @@ class NocsLoader:
         self.model_name = model_name
         self.mask_dir = mask_dir
         self.zfar = zfar
-        self.K = NOCS_K.copy()
+        # the reference hardcodes the REAL275 intrinsics (DataLoader.cpp:
+        # 75-77); accept an optional cam_K.txt in data_dir as a testability
+        # extension (lets miniature synthetic scenes use the same layout)
+        k_file = os.path.join(data_dir, "cam_K.txt")
+        self.K = (
+            np.loadtxt(k_file).reshape(3, 3).astype(np.float32)
+            if os.path.exists(k_file)
+            else NOCS_K.copy()
+        )
         m = re.search(r"scene_(\d+)", data_dir)
         self.scene_id = int(m.group(1)) if m else 1
 

@@ -31,13 +31,16 @@ def _window_reduce(x: jnp.ndarray, ksize: int, op) -> jnp.ndarray:
     is a 225-op graph per call and dominates jit time once the training
     step differentiates through it.
     """
-    dims = (1, ksize, ksize, 1)
     ones = (1, 1, 1, 1)
+    # rect windows are separable for both max and sum: two 1-D passes move
+    # O(k^2) work to O(2k) — at sm_ksize=15 that is ~7x fewer reads
+    dims_h = (1, ksize, 1, 1)
+    dims_w = (1, 1, ksize, 1)
     if op is jnp.maximum:
-        return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, dims, ones, "SAME"
-        )
-    return jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, ones, "SAME")
+        r = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims_h, ones, "SAME")
+        return jax.lax.reduce_window(r, -jnp.inf, jax.lax.max, dims_w, ones, "SAME")
+    r = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims_h, ones, "SAME")
+    return jax.lax.reduce_window(r, 0.0, jax.lax.add, dims_w, ones, "SAME")
 
 
 def soft_nms_3d(scale_logits: jnp.ndarray, ksize: int, com_strength: float = 1.0):

@@ -29,17 +29,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _match_kernel(
     desc_a_ref, desc_b_ref,  # [N, D]
-    wa_ref, wb_ref,  # [N, 3] model-frame points (padded to [N, 128]? no: [N, 3])
+    wa_ref, wb_ref,  # [N, 3] model-frame points
     na_ref, nb_ref,  # [N, 3] model-frame normals
     valid_a_ref, valid_b_ref,  # [N, 1] float (1.0 valid)
-    params_ref,  # [1, 2] SMEM: (max_dist_sq, cos_thresh)
     best_b_ref,  # out [N, 1] int32
     best_dist_ref,  # out [N, 1] f32
     mutual_ref,  # out [N, 1] int32 (1 = mutual match)
+    *,
+    max_dist_sq: float,  # compile-time constants (config values)
+    cos_thresh: float,
 ):
     N = desc_a_ref.shape[0]
-    max_dist_sq = params_ref[0, 0]
-    cos_thresh = params_ref[0, 1]
 
     da = desc_a_ref[:]
     db = desc_b_ref[:]
@@ -78,13 +78,16 @@ def _match_kernel(
     best_b = jnp.argmin(gated, axis=1)  # [N]
     row_min = jnp.min(gated, axis=1)  # [N]
     col_min = jnp.min(gated, axis=0)  # [N]
-    # mutual: row i's winner j also has i as winner. Equivalent (and cheaper
-    # on TPU than a second argmin+gather): dist[i, best_b[i]] == col_min[best_b[i]]
-    # with strict-inf guard.  Ties resolve to "mutual", matching argmin
-    # semantics closely enough for RANSAC downstream.
-    col_min_at_best = jnp.take(col_min, best_b)  # dynamic gather [N]
+    # mutual: row i's winner j also has i as winner, i.e.
+    # gated[i, best_b[i]] <= col_min[best_b[i]].  Mosaic has no 1-D dynamic
+    # gather, so select j == best_b[i] with a broadcast iota and reduce —
+    # pure [N, N] vector ops in VMEM.  Ties resolve to "mutual", matching
+    # argmin semantics closely enough for RANSAC downstream.
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    sel = iota_j == best_b[:, None]
+    mutual = jnp.any(sel & (gated <= col_min[None, :]) & (gated < big), axis=1)
     has = row_min < big
-    mutual = has & (row_min <= col_min_at_best)
+    mutual = mutual & has
 
     best_b_ref[:] = best_b.astype(jnp.int32).reshape(N, 1)
     best_dist_ref[:] = jnp.where(has, row_min, big).reshape(N, 1)
@@ -101,14 +104,9 @@ def fused_mutual_match(
     interpret: bool = False,
 ):
     """Batched fused matching: returns (best_b [P,N] i32, dist [P,N], mutual [P,N] bool)."""
+    import math
+
     P, N, D = desc_a.shape
-    params = jnp.broadcast_to(
-        jnp.asarray(
-            [[float(max_dist) ** 2, float(jnp.cos(jnp.deg2rad(max_normal_deg)))]],
-            jnp.float32,
-        ),
-        (P, 1, 2),
-    )
     v_a = valid_a.astype(jnp.float32)[..., None]
     v_b = valid_b.astype(jnp.float32)[..., None]
 
@@ -116,10 +114,16 @@ def fused_mutual_match(
     spec_nd = lambda d: pl.BlockSpec((1, N, d), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, N, 1), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
 
-    def kernel(da, db, wa_, wb_, na_, nb_, va, vb, pr, bb, bd, mu):
-        _match_kernel(
+    body = functools.partial(
+        _match_kernel,
+        max_dist_sq=float(max_dist) ** 2,
+        cos_thresh=math.cos(math.radians(float(max_normal_deg))),
+    )
+
+    def kernel(da, db, wa_, wb_, na_, nb_, va, vb, bb, bd, mu):
+        body(
             da.at[0], db.at[0], wa_.at[0], wb_.at[0], na_.at[0], nb_.at[0],
-            va.at[0], vb.at[0], pr.at[0], bb.at[0], bd.at[0], mu.at[0],
+            va.at[0], vb.at[0], bb.at[0], bd.at[0], mu.at[0],
         )
 
     best_b, best_dist, mutual = pl.pallas_call(
@@ -129,7 +133,6 @@ def fused_mutual_match(
             spec_nd(D), spec_nd(D),
             spec_nd(3), spec_nd(3), spec_nd(3), spec_nd(3),
             spec_nd(1), spec_nd(1),
-            pl.BlockSpec((1, 1, 2), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
@@ -138,7 +141,7 @@ def fused_mutual_match(
             jax.ShapeDtypeStruct((P, N, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(desc_a, desc_b, wa, wb, na, nb, v_a, v_b, params)
+    )(desc_a, desc_b, wa, wb, na, nb, v_a, v_b)
 
     return (
         best_b[..., 0],
