@@ -285,9 +285,11 @@ def main():
     H, W = 480, 640
     # dense_src_capacity 2048: validated sub-mm-identical to the default 4096
     # on the synthetic eval, halves the dense-term gather in the solver stage
+    # early_stop_delta=0.005 is a documented non-reference perf opt-in
+    # (PARITY.md; the shipped reference never defines ENABLE_EARLY_OUT)
     cfg = TrackerConfig(
         shapes=ShapeConfig(image_h=H, image_w=W),
-        bundle=BundleConfig(dense_src_capacity=2048),
+        bundle=BundleConfig(dense_src_capacity=2048, early_stop_delta=0.005),
     )
 
     n_frames = 52

@@ -32,8 +32,14 @@ def main(argv=None):
         "--frontend", choices=["config", "classical", "lfnet"], default="config",
         help="keypoint frontend; 'config' uses the YAML/preset setting",
     )
+    # default resolves relative to the repo root (like run_vos.py) so the
+    # CLI works from any working directory
+    default_ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "checkpoints", "lfnet_params.npz",
+    )
     parser.add_argument(
-        "--lfnet-ckpt", default="checkpoints/lfnet_params.npz",
+        "--lfnet-ckpt", default=default_ckpt,
         help="trained LF-Net weights (npz) for --frontend lfnet",
     )
     args = parser.parse_args(argv)

@@ -86,9 +86,13 @@ class BundleConfig:
     w_dense_depth: float = 1.0  # weightsDenseDepth = 1
     w_dense_color: float = 0.0  # weightsDenseColor = 0 (compiled but disabled)
     # GN early-out: stop outer iterations once max |delta| over free frames
-    # drops below this (reference ENABLE_EARLY_OUT + EvalGNConvergence,
-    # SolverBundling.cu:996-999); 0 disables and always runs num_iter_outer
-    early_stop_delta: float = 0.005
+    # drops below this; 0 disables and always runs num_iter_outer.  The
+    # reference ships this behind ENABLE_EARLY_OUT (SolverBundling.cu:996-999)
+    # which is never defined in any build file, so the shipped reference
+    # always runs all iterations — the default 0.0 matches that.  Setting a
+    # positive delta is a documented non-reference perf opt-in (PARITY.md);
+    # bench.py enables 0.005.
+    early_stop_delta: float = 0.0
     # post-solve verification (reference CUDASolverBundling::useVerification,
     # src/cuda/Solver/CUDASolverBundling.cpp:396-417 with thresholds from
     # :31-32; the reference compiles it but always sets m_bVerify=false,
@@ -199,8 +203,10 @@ class FrontendConfig:
 class SegmentationConfig:
     """Video-object-segmentation settings (reference: transductive-vos run_video.py)."""
 
-    seg_dilation_iter: int = 0  # NOCS yml sets 3 (parsed-but-unused in the
-    # reference C++; here >1 adds extra 5x5 dilate rounds, see preprocess_mask)
+    # ACCEPTED BUT IGNORED: NOCS yml sets 3, but the reference C++ parses
+    # this key and never reads it — always exactly one 5x5 dilate
+    # (src/Frame.cpp:313-315); preprocess_mask matches that.
+    seg_dilation_iter: int = 0
     # largest-CC + convex-hull mask fill (reference NOCS path,
     # src/Frame.cpp:262-312, keyed there on data_dir containing "NOCS")
     nocs_mask_fill: bool = False

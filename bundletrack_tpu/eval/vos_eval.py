@@ -31,6 +31,11 @@ def evaluate_vos(params, model, seg_cfg, seq, num_frames: int = 0,
 
     F, H, W = seq.gray.shape
     n = min(num_frames or F, F)
+    if n < 2:
+        raise ValueError(
+            f"evaluate_vos needs >= 2 frames to propagate (got n={n}); "
+            "frame 0 only seeds the history"
+        )
     prop = VOSPropagator(params, model, seg_cfg, H, W, history_cap=history_cap)
     rgb = lambda f: np.repeat(seq.gray[f][..., None], 3, axis=-1)
     prop.first_frame(rgb(0), np.asarray(seq.mask[0], bool))

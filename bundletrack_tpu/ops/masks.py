@@ -158,13 +158,13 @@ def preprocess_mask(mask: jnp.ndarray, seg_cfg) -> jnp.ndarray:
     """Full reference mask chain (Frame::segmentationByMaskFile postprocess).
 
     NOCS path (seg_cfg.nocs_mask_fill): largest CC -> convex-hull fill; then
-    always one 5x5 dilate (src/Frame.cpp:313-315).  `seg_dilation_iter` is
-    honored as extra dilate rounds — the reference PARSES it from
-    config_nocs.yml:10 but its C++ never reads it (single fixed dilate), so
-    values > 1 are an extension; <= 1 matches the reference exactly.
+    always exactly one 5x5 dilate (src/Frame.cpp:313-315).  The reference
+    PARSES `seg_dilation_iter` from config_nocs.yml:10 but its C++ never
+    reads it — it always does the single fixed dilate — so the knob is
+    parsed-but-ignored here too (like bundle.window_size) to keep NOCS masks
+    the same width as the reference's.
     """
     if seg_cfg.nocs_mask_fill:
         mask = largest_component_fill(mask)
         mask = convex_hull_fill(mask)
-    iters = max(1, int(seg_cfg.seg_dilation_iter))
-    return dilate_mask(mask, iterations=iters, ksize=5)
+    return dilate_mask(mask, iterations=1, ksize=5)
