@@ -21,23 +21,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_inputs(K, N, D, seed=0):
+    """Structured inputs with ground-truth correspondence.
+
+    Every frame observes the same underlying landmarks through descriptor
+    noise (keeping realistic match margins — i.i.d. random descriptors make
+    ALL distances ~2.0 and winner selection degenerates to ulp-level
+    accumulation-order ties, which measures nothing).  Frame k's keypoint i
+    is landmark perm[k, i]; ground truth for pair (a, b) is
+    perm[a, i] == perm[b, j].
+    """
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed)
-    desc = rng.randn(K, N, D).astype(np.float32)
+    base_desc = rng.randn(N, D).astype(np.float32)
+    base_pts = rng.rand(N, 3).astype(np.float32) * 0.2
+    base_nrm = rng.randn(N, 3).astype(np.float32)
+    base_nrm /= np.linalg.norm(base_nrm, axis=-1, keepdims=True)
+
+    perm = np.stack([rng.permutation(N) for _ in range(K)])  # [K, N]
+    desc = base_desc[perm] + 0.35 * rng.randn(K, N, D).astype(np.float32)
     desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
-    pts = rng.rand(K, N, 3).astype(np.float32) * 0.2
-    nrm = rng.randn(K, N, 3).astype(np.float32)
-    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    pts = base_pts[perm] + 0.002 * rng.randn(K, N, 3).astype(np.float32)
+    nrm = base_nrm[perm]
     valid = rng.rand(K, N) < 0.9
     poses = np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4)).copy()
-    poses[:, :3, 3] = 0.01 * rng.randn(K, 3)
+    poses[:, :3, 3] = 0.002 * rng.randn(K, 3)
     pi, pj = np.triu_indices(K, k=1)
-    return tuple(
+    arrays = tuple(
         jnp.asarray(x)
         for x in (desc, pts, nrm, valid, poses, pi.astype(np.int32),
                   pj.astype(np.int32), np.ones(len(pi), bool))
     )
+    return arrays, perm, (pi, pj)
 
 
 def main(argv=None):
@@ -54,7 +69,7 @@ def main(argv=None):
     from bundletrack_tpu.matching.pairwise import match_pairs_batched
     from bundletrack_tpu.utils.timing import hard_sync
 
-    inputs = make_inputs(args.k, args.n, args.d)
+    inputs, perm, (pi, pj) = make_inputs(args.k, args.n, args.d)
 
     def run(backend):
         fn = jax.jit(
@@ -79,8 +94,8 @@ def main(argv=None):
     out_x, ms_x = run("xla")
     out_p, ms_p = run("pallas")
 
-    # correctness: identical match sets up to tie-breaks — compare the set of
-    # (pair, a, b) triples
+    # correctness: precision of each backend against the known landmark
+    # correspondence, plus set agreement between backends
     def match_set(out):
         ia, ib, v = (np.asarray(x) for x in (out.idx_a, out.idx_b, out.valid))
         P = ia.shape[0]
@@ -90,16 +105,25 @@ def main(argv=None):
             for a, b, ok in zip(ia[p_], ib[p_], v[p_])
             if ok
         }
+
+    def gt_precision(s):
+        ok = sum(1 for (p_, a, b) in s if perm[pi[p_], a] == perm[pj[p_], b])
+        return ok / max(len(s), 1)
+
     sx, sp = match_set(out_x), match_set(out_p)
     inter = len(sx & sp)
     union = max(len(sx | sp), 1)
     agree = inter / union
-    print(f"[matcher] agreement: {agree:.4f} ({len(sx)} xla vs {len(sp)} pallas matches)",
+    prec_x, prec_p = gt_precision(sx), gt_precision(sp)
+    print(f"[matcher] agreement: {agree:.4f} ({len(sx)} xla vs {len(sp)} pallas"
+          f" matches); gt precision xla={prec_x:.4f} pallas={prec_p:.4f}",
           file=sys.stderr)
     import json
     print(json.dumps({
         "xla_ms": round(ms_x, 2), "pallas_ms": round(ms_p, 2),
         "speedup": round(ms_x / ms_p, 2), "agreement": round(agree, 4),
+        "gt_precision_xla": round(prec_x, 4),
+        "gt_precision_pallas": round(prec_p, 4),
     }))
     return ms_x, ms_p, agree
 

@@ -120,7 +120,12 @@ class FeatureCorresConfig:
     max_dist_neighbor: float = 0.03
     max_normal_neighbor: float = 45.0
     map_points: bool = True  # propagate matches through the landmark table
-    backend: str = "xla"  # "xla" | "pallas" | "pallas_interpret" (BA all-pairs path)
+    # BA all-pairs matching backend: "auto" resolves to the fused Pallas
+    # kernel on TPU (measured r4 on-chip at P=120/N=512/D=256: 2.81 ms vs
+    # 3.11 ms XLA, ground-truth match precision 1.0000 for both —
+    # benchmarks/bench_matcher.py, recorded in BENCH_r04 extra) and to the
+    # XLA path elsewhere (CPU tests; Mosaic kernels are TPU-only).
+    backend: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret"
 
 
 @_frozen

@@ -81,15 +81,17 @@ def geometric_gate(
     nb = transform_normals(pose_b, normals_b)
     # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b : two MXU matmuls instead of the
     # [.., Na, Nb, 3] broadcast-difference (which is pure HBM traffic).
-    # f32 'highest' precision: the gate threshold (0.02 m)^2 = 4e-4 sits far
-    # below bf16 resolution of the ~1 m^2 norm terms.
-    dot = jnp.einsum("...ik,...jk->...ij", wa, wb, precision="highest")
+    # Precision HIGH (bf16_3x, rel err ~5e-7): the gate threshold
+    # (0.02 m)^2 = 4e-4 needs better than raw-bf16 resolution of the ~1 m^2
+    # norm terms, and HIGH gets there at half the MXU passes of HIGHEST.
+    # Must match pallas_kernels/matching.py so both backends gate alike.
+    dot = jnp.einsum("...ik,...jk->...ij", wa, wb, precision=jax.lax.Precision.HIGH)
     d2 = (
         jnp.sum(wa * wa, axis=-1)[..., :, None]
         + jnp.sum(wb * wb, axis=-1)[..., None, :]
         - 2.0 * dot
     )
-    cos = jnp.einsum("...ik,...jk->...ij", na, nb, precision="highest")
+    cos = jnp.einsum("...ik,...jk->...ij", na, nb, precision=jax.lax.Precision.HIGH)
     cos_thresh = jnp.cos(jnp.deg2rad(max_normal_deg))
     return (d2 < jnp.asarray(max_dist) ** 2) & (cos > cos_thresh)
 
@@ -148,6 +150,10 @@ def match_pair(
     gate = geometric_gate(
         pts_a, normals_a, pose_a, pts_b, normals_b, pose_b, max_dist, max_normal_deg
     )
+    # exclude padding slots BEFORE mutual-NN: an invalid keypoint must not
+    # steal a valid keypoint's winner slot (matches the Pallas kernel, which
+    # teleports invalid points out of gate range)
+    gate = gate & valid_a[..., :, None] & valid_b[..., None, :]
     mut = mutual_nearest(dist, gate)
     return _select_top_matches(mut, dist, valid_a, valid_b, max_matches)
 
@@ -220,7 +226,10 @@ def match_pairs_batched(
 
     backend="pallas" routes through the fused VMEM-resident kernel
     (pallas_kernels/matching.py) — same contract, no [P, N, N] HBM traffic.
+    backend="auto" picks pallas on TPU, xla elsewhere (trace-time decision).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     gather = lambda arr, idx: jnp.take(arr, idx, axis=0)
     if backend in ("pallas", "pallas_interpret"):
         from bundletrack_tpu.pallas_kernels import fused_mutual_match
