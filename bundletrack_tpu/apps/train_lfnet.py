@@ -26,27 +26,67 @@ import sys
 import time
 
 
-def build_batches(size: int, batch: int, num_seqs: int, seed: int):
-    """Pre-render a pool of warp-annotated pairs to cycle through.
+def build_batches(size: int, batch: int, num_seqs: int, seed: int,
+                  world: str = "hard", num_batches: int = 0):
+    """Pre-render a pool of warp-annotated training batches.
 
-    Pairs mix baselines (frame gaps 1-4, i.e. up to ~20 deg relative
-    rotation) so the descriptor sees both the tracking regime (neighbor
-    frames) and keyframe-pair viewpoint changes."""
+    Requirements learned from the r3 descriptor collapse:
+      * every row of a batch comes from a DISTINCT world — rows sharing
+        landmarks poison the InfoNCE negatives (models/lfnet_train docstring);
+      * rows are serving-faithful mask-ROI crops (lfnet_roi_pair_batch), not
+        full frames, so train and serve see the same scale distribution;
+      * "hard" worlds (data/hard_world.py): fBm-textured cube/cylinder/L/T
+        shapes with per-world random orbit, roll, scale change, and
+        photometric augmentation — content rich enough for descriptors.
+
+    Pairs mix frame gaps 1-4 (up to ~30 deg relative rotation): the
+    tracking regime (neighbors) plus keyframe-pair viewpoint changes.
+    """
     import numpy as np
 
-    from bundletrack_tpu.data import render_synthetic_sequence
-    from bundletrack_tpu.data.pairs import lfnet_pair_batch
+    from bundletrack_tpu.data import render_hard_sequence, render_synthetic_sequence
+    from bundletrack_tpu.data.pairs import lfnet_roi_pair_batch
 
-    pool = []
+    rng = np.random.RandomState(seed)
+    num_worlds = max(num_seqs, batch)
+    n_frames = 8
+    render_hw = int(size * 1.6)
+    shapes = ["cube", "cylinder", "lshape", "tshape"]
+    worlds = []
+    for s in range(num_worlds):
+        if world == "easy":
+            worlds.append(render_synthetic_sequence(
+                num_frames=n_frames, H=render_hw, W=render_hw, seed=seed + s,
+                orbit_deg_per_frame=3.0 + 0.5 * (s % 5),
+            ))
+        else:
+            worlds.append(render_hard_sequence(
+                shape=shapes[s % len(shapes)], num_frames=n_frames,
+                H=render_hw, W=render_hw,
+                radius=0.42 + 0.12 * rng.rand(),
+                orbit_deg_per_frame=2.0 + 4.0 * rng.rand(),
+                roll_deg_per_frame=3.0 * rng.rand(),
+                scale_to=[1.0, 1.3, 0.75][s % 3],
+                elev_amp=0.25 * rng.rand(),
+                seed=seed + 31 * s,
+                depth_noise=0.0, depth_quant=0.0, hole_fraction=0.0,
+                mask_errors=False, background=True,
+            ))
+
     gaps = [1, 1, 2, 3, 4]
-    for s in range(num_seqs):
-        max_gap = gaps[-1]
-        seq = render_synthetic_sequence(
-            num_frames=batch + max_gap, H=size, W=size, seed=seed + s,
-            orbit_deg_per_frame=3.0 + 0.5 * (s % 5),
-        )
-        pairs = [(i, i + gaps[(s + i) % len(gaps)]) for i in range(batch)]
-        pool.append(lfnet_pair_batch(seq, pairs))
+    pool = []
+    for _ in range(num_batches or max(24, 2 * num_worlds)):
+        row_worlds = rng.permutation(num_worlds)[:batch]  # distinct per batch
+        rows = []
+        for w in row_worlds:
+            gap = gaps[rng.randint(len(gaps))]
+            i = rng.randint(n_frames - gap)
+            rows.append(lfnet_roi_pair_batch(
+                worlds[w], [(i, i + gap)], size, rng=rng, photometric=True,
+            ))
+        pool.append({
+            k: np.concatenate([r[k] for r in rows], axis=0) for k in rows[0]
+        })
     return pool
 
 
@@ -60,7 +100,11 @@ def main(argv=None):
                         help="cosine-decay the lr to lr/10 over --steps")
     parser.add_argument("--top-k", type=int, default=128)
     parser.add_argument("--desc-dim", type=int, default=256)
-    parser.add_argument("--num-seqs", type=int, default=8)
+    parser.add_argument("--num-seqs", type=int, default=8,
+                        help="worlds in the render pool (min = --batch)")
+    parser.add_argument("--world", choices=["hard", "easy"], default="hard")
+    parser.add_argument("--num-batches", type=int, default=0,
+                        help="pre-built batches to cycle (0 = auto)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ckpt-dir", default="")
     parser.add_argument("--ckpt-every", type=int, default=100)
@@ -123,8 +167,10 @@ def main(argv=None):
             )
             print(f"[train_lfnet] resumed at step {start_step}", file=sys.stderr)
 
-    print(f"[train_lfnet] rendering {args.num_seqs} sequences...", file=sys.stderr)
-    pool = build_batches(args.size, args.batch, args.num_seqs, args.seed)
+    print(f"[train_lfnet] rendering {max(args.num_seqs, args.batch)} "
+          f"{args.world} worlds...", file=sys.stderr)
+    pool = build_batches(args.size, args.batch, args.num_seqs, args.seed,
+                         world=args.world, num_batches=args.num_batches)
 
     def to_batch(d):
         return LFNetTrainBatch(

@@ -134,9 +134,13 @@ def _intersect_cylinder(o, d, radius, half_h):
         t_bot = (-half_h - oy) / dy
 
     def cap_ok(t_c):
-        px = ox + t_c * dx
-        pz = oz + t_c * dz
-        return (t_c > 1e-6) & (px * px + pz * pz <= radius * radius)
+        with np.errstate(invalid="ignore"):  # inf*0 on dy==0 rays
+            px = ox + np.where(np.isfinite(t_c), t_c, 0.0) * dx
+            pz = oz + np.where(np.isfinite(t_c), t_c, 0.0) * dz
+        return (
+            np.isfinite(t_c) & (t_c > 1e-6)
+            & (px * px + pz * pz <= radius * radius)
+        )
 
     t_t = np.where(cap_ok(t_top), t_top, np.inf)
     t_b = np.where(cap_ok(t_bot), t_bot, np.inf)
@@ -147,8 +151,9 @@ def _intersect_cylinder(o, d, radius, half_h):
     use_side = hit & (t == t_s)
     use_top = hit & ~use_side & (t == t_t)
     use_bot = hit & ~use_side & ~use_top
-    px = ox + t * dx
-    pz = oz + t * dz
+    with np.errstate(invalid="ignore"):  # inf*0 on miss rays; masked below
+        px = ox + np.where(hit, t, 0.0) * dx
+        pz = oz + np.where(hit, t, 0.0) * dz
     inv_r = 1.0 / radius
     n[..., 0] = np.where(use_side, px * inv_r, 0.0)
     n[..., 2] = np.where(use_side, pz * inv_r, 0.0)

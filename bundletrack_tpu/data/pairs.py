@@ -93,6 +93,119 @@ def lfnet_pair_batch(seq, frame_pairs):
     }
 
 
+def _clean_channels(seq):
+    """(gray, depth, mask) with GROUND-TRUTH depth/mask when the sequence
+    carries degraded sensing (data/hard_world.HardSequence) — training
+    correspondence must come from exact geometry, not simulated sensor
+    noise (3 mm depth noise alone is ~3 px of reprojection error)."""
+    depth = getattr(seq, "depth_gt", None)
+    mask = getattr(seq, "mask_gt", None)
+    return (
+        seq.gray,
+        depth if depth is not None else seq.depth,
+        mask if mask is not None else seq.mask,
+    )
+
+
+def _roi_square(mask: np.ndarray):
+    """Mask ROI -> (umin, vmin, side) of the square crop box (mirrors
+    ops/resize.crop_resize_square: side = max(w, h), anchored at the ROI's
+    top-left, matching the serving-path affine exactly)."""
+    ys, xs = np.nonzero(mask)
+    umin, umax = int(xs.min()), int(xs.max())
+    vmin, vmax = int(ys.min()), int(ys.max())
+    side = max(umax - umin + 1, vmax - vmin + 1)
+    return umin, vmin, side
+
+
+def _crop_resize_np(img: np.ndarray, umin: int, vmin: int, side: int, out: int):
+    """Host-side bilinear equivalent of crop_resize_square for [H, W] f32."""
+    H, W = img.shape
+    s = out / side
+    xs = umin + np.arange(out, dtype=np.float32) / s
+    ys = vmin + np.arange(out, dtype=np.float32) / s
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, W - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    p00 = img[y0[:, None], x0[None, :]]
+    p01 = img[y0[:, None], x1[None, :]]
+    p10 = img[y1[:, None], x0[None, :]]
+    p11 = img[y1[:, None], x1[None, :]]
+    return (
+        p00 * (1 - fx) * (1 - fy)
+        + p01 * fx * (1 - fy)
+        + p10 * (1 - fx) * fy
+        + p11 * fx * fy
+    ).astype(np.float32)
+
+
+def lfnet_roi_pair_batch(
+    seq,
+    frame_pairs,
+    out_size: int,
+    rng: np.random.RandomState | None = None,
+    photometric: bool = True,
+):
+    """Serving-faithful LF-Net training rows: ROI crops + composed warps.
+
+    The serving pipeline feeds the net the mask-ROI crop resized to
+    cfg.input_size (frontend/pipeline.py:74-79, mirroring the reference's
+    crop->square->400x400 chain, src/FeatureManager.cpp:851-884).  Training
+    on full frames creates a train/serve scale mismatch; this builder crops
+    each frame exactly like serving and composes the ground-truth warp
+    through both crop affines, so the descriptor trains on the distribution
+    it will see.  Optional photometric augmentation (gain/bias/noise) per
+    crop teaches brightness robustness.
+    """
+    gray_all, depth_all, mask_all = _clean_channels(seq)
+    img1, img2, warps, valids = [], [], [], []
+    for i, j in frame_pairs:
+        w_full, val_full = warp_field_from_depth(
+            depth_all[i], seq.K, seq.ob_in_cam[i], seq.ob_in_cam[j],
+            depth2=depth_all[j], mask1=mask_all[i],
+        )
+        u1, v1, s1side = _roi_square(mask_all[i])
+        u2, v2, s2side = _roi_square(mask_all[j])
+        s1 = out_size / s1side
+        s2 = out_size / s2side
+        c1 = _crop_resize_np(gray_all[i], u1, v1, s1side, out_size)
+        c2 = _crop_resize_np(gray_all[j], u2, v2, s2side, out_size)
+        # compose: crop1 px -> orig1 -> warp -> orig2 -> crop2 px
+        xs = u1 + np.arange(out_size, dtype=np.float32) / s1
+        ys = v1 + np.arange(out_size, dtype=np.float32) / s1
+        H, W = mask_all[i].shape
+        xi = np.clip(np.round(xs).astype(np.int64), 0, W - 1)
+        yi = np.clip(np.round(ys).astype(np.int64), 0, H - 1)
+        w_c = w_full[yi[:, None], xi[None, :]]  # [out, out, 2] orig2 coords
+        val_c = val_full[yi[:, None], xi[None, :]]
+        wx = (w_c[..., 0] - u2) * s2
+        wy = (w_c[..., 1] - v2) * s2
+        inside = (wx >= 0) & (wx <= out_size - 1) & (wy >= 0) & (wy <= out_size - 1)
+        warp_c = np.stack([wx, wy], axis=-1).astype(np.float32)
+        val_c = val_c & inside
+        warp_c = np.where(val_c[..., None], warp_c, 0.0)
+        if photometric and rng is not None:
+            for c in (c1, c2):
+                gain = 0.75 + 0.5 * rng.rand()
+                bias = 0.1 * (rng.rand() - 0.5)
+                c *= gain
+                c += bias + (0.015 * rng.randn(*c.shape)).astype(np.float32)
+                np.clip(c, 0.0, 1.0, out=c)
+        img1.append(c1[..., None])
+        img2.append(c2[..., None])
+        warps.append(warp_c)
+        valids.append(val_c)
+    return {
+        "img1": np.stack(img1).astype(np.float32),
+        "img2": np.stack(img2).astype(np.float32),
+        "warp12": np.stack(warps),
+        "warp_valid": np.stack(valids),
+    }
+
+
 def vos_clip_batch(seq, clip_starts, clip_len: int):
     """Build VOSTrainBatch arrays (clips + 0/1 labels from the object mask)."""
     clips, labels = [], []

@@ -67,7 +67,24 @@ def _gather_bilinear(img, xy):
     )
 
 
-def lfnet_loss(params, model: LFNet, batch: LFNetTrainBatch, temperature=0.1):
+def lfnet_loss(
+    params,
+    model: LFNet,
+    batch: LFNetTrainBatch,
+    temperature=0.1,
+    neg_mask_px: float = 8.0,
+):
+    """Two-term loss; see module docstring.
+
+    InfoNCE negative hygiene (the r3 descriptor collapse traced to this):
+      * batch rows MUST come from distinct worlds — rows sharing landmarks
+        make the in-batch negatives false (the trainer guarantees this);
+      * same-row negatives whose image-2 location lies within `neg_mask_px`
+        of the anchor's true correspondent are masked out — their patches
+        overlap the positive's and are legitimately similar, and punishing
+        them forces pathological descriptor sharpness;
+      * columns from invalid correspondences (garbage patches) are masked.
+    """
     cfg = model.cfg
     B, H, W, _ = batch.img1.shape
 
@@ -115,6 +132,19 @@ def lfnet_loss(params, model: LFNet, batch: LFNetTrainBatch, temperature=0.1):
     sim = (d1 @ d2.T) / temperature  # [BK, BK]
     labels = jnp.arange(B * K)
     mask = kp_valid.reshape(-1)
+
+    # negative hygiene (see docstring): mask near-duplicate same-row
+    # negatives and invalid columns, keeping the diagonal
+    corr_flat = corr.reshape(B * K, 2)
+    row_id = batch_inds  # [BK]
+    same_row = row_id[:, None] == row_id[None, :]
+    cd2 = jnp.sum((corr_flat[:, None, :] - corr_flat[None, :, :]) ** 2, axis=-1)
+    near_dup = same_row & (cd2 < neg_mask_px**2)
+    bad_col = ~mask[None, :].astype(bool)
+    off_diag = labels[:, None] != labels[None, :]
+    neg_inf = jnp.asarray(-1e9, sim.dtype)
+    sim = jnp.where(off_diag & (near_dup | bad_col), neg_inf, sim)
+
     ce = optax.softmax_cross_entropy_with_integer_labels(sim, labels)
     desc_loss = jnp.sum(ce * mask) / (jnp.sum(mask) + 1e-6)
 

@@ -88,13 +88,23 @@ def solve_normal_equations_cholesky(H, g, lm_lambda: float):
 
 
 def build_normal_equations(
-    inputs: GraphInputs, cfg, dense_compact: Optional[CompactDense] = None
+    inputs: GraphInputs,
+    cfg,
+    dense_compact: Optional[CompactDense] = None,
+    axis_name: Optional[str] = None,
 ):
     """Assemble H/g from sparse + dense terms (one GN linearization).
 
     `dense_compact` should be built once per solve with compact_dense_frames
     (the compaction + gather-table packing is pose-independent); when omitted
     it is built here.
+
+    `axis_name`: when running inside shard_map with the correspondence PAIR
+    axis sharded across devices (SURVEY §2.6's within-stream scale axis; the
+    reference's analog is one CUDA stream per pair, cuda_ransac.cu:1267-1284),
+    each device contributes its local pairs' blocks and the full H/g/cost are
+    psum-reduced over `axis_name` here — one [K,K,6,6]+[K,6] all-reduce per
+    GN iteration riding ICI.
     """
     H, g, cost, _ = sparse_normal_equations(
         inputs.poses,
@@ -128,14 +138,25 @@ def build_normal_equations(
         H = H + Hd
         g = g + gd
         cost = cost + cd
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        g = jax.lax.psum(g, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
     return H, g, cost
 
 
-def optimize_pose_graph(inputs: GraphInputs, cfg, p2p_cfg=None):
+def optimize_pose_graph(
+    inputs: GraphInputs, cfg, p2p_cfg=None, axis_name: Optional[str] = None
+):
     """Run the full robust-GN outer loop; returns (poses [K,4,4], info dict).
 
     cfg: BundleConfig (num_iter_outer, num_iter_inner, robust_delta,
     lm_lambda, solver_backend, w_sparse/w_dense_depth).
+
+    axis_name: pair-axis sharding inside shard_map — see
+    build_normal_equations.  After the psum every device holds identical H/g
+    and runs the same (tiny, 96x96) solve replicated, so the outer loop's
+    control flow stays in lockstep across devices.
     """
 
     use_dense = (
@@ -154,7 +175,7 @@ def optimize_pose_graph(inputs: GraphInputs, cfg, p2p_cfg=None):
 
     def gn_step(poses):
         cur = inputs._replace(poses=poses)
-        H, g, cost = build_normal_equations(cur, cfg, dense_compact)
+        H, g, cost = build_normal_equations(cur, cfg, dense_compact, axis_name)
         free = inputs.free_mask & inputs.frame_valid
         H, g = _apply_gauge(H, g, free)
         if cfg.solver_backend == "pcg":
@@ -203,11 +224,13 @@ def optimize_pose_graph(inputs: GraphInputs, cfg, p2p_cfg=None):
             0, cfg.num_iter_outer, outer, (inputs.poses, zero)
         )
     info = {"final_cost": cost}
-    info.update(verify_solution(poses, inputs, cfg))
+    info.update(verify_solution(poses, inputs, cfg, axis_name))
     return poses, info
 
 
-def optimize_pose_graph_verified(inputs: GraphInputs, cfg):
+def optimize_pose_graph_verified(
+    inputs: GraphInputs, cfg, axis_name: Optional[str] = None
+):
     """optimize_pose_graph + the useVerification reject path.
 
     When cfg.use_verification and the post-solve fraction of high-residual
@@ -216,7 +239,7 @@ def optimize_pose_graph_verified(inputs: GraphInputs, cfg):
     CUDASolverBundling::useVerification, CUDASolverBundling.cpp:396-417).
     Returns (poses, rejected, info).
     """
-    poses, info = optimize_pose_graph(inputs, cfg)
+    poses, info = optimize_pose_graph(inputs, cfg, axis_name=axis_name)
     rejected = jnp.asarray(False)
     if cfg.use_verification:
         rejected = info["high_residual_frac"] >= cfg.verify_percent_thresh
@@ -224,20 +247,28 @@ def optimize_pose_graph_verified(inputs: GraphInputs, cfg):
     return poses, rejected, info
 
 
-def verify_solution(poses, inputs: GraphInputs, cfg):
+def verify_solution(poses, inputs: GraphInputs, cfg, axis_name=None):
     """Post-solve residual analysis (reference CUDASolverBundling
     computeMaxResidual:303-375 and useVerification high-residual percentage
     check:396-417).  A correspondence is "high" when w_sparse * the max-abs
     residual component exceeds verify_dist_thresh (evalAbsMaxResidualDevice,
     SolverBundlingEquationsLie.h:26-39); the tracker rejects the solve when
-    the high fraction reaches verify_percent_thresh (see bundler.py)."""
+    the high fraction reaches verify_percent_thresh (see bundler.py).
+
+    axis_name: with pairs sharded, counts psum and the max pmax-es so every
+    device reports the same global statistics."""
     from bundletrack_tpu.solver.residuals import sparse_residuals
 
     r, _, _ = sparse_residuals(poses, inputs.corres)
     e = jnp.linalg.norm(r, axis=-1)
     e_inf = jnp.max(jnp.abs(r), axis=-1) * cfg.w_sparse
     valid = inputs.corres.valid
-    n = jnp.maximum(jnp.sum(valid), 1)
+    n = jnp.sum(valid)
+    n_high = jnp.sum((e_inf > cfg.verify_dist_thresh) & valid)
     max_res = jnp.max(jnp.where(valid, e, 0.0))
-    high = jnp.sum((e_inf > cfg.verify_dist_thresh) & valid) / n
+    if axis_name is not None:
+        n = jax.lax.psum(n, axis_name)
+        n_high = jax.lax.psum(n_high, axis_name)
+        max_res = jax.lax.pmax(max_res, axis_name)
+    high = n_high / jnp.maximum(n, 1)
     return {"max_residual": max_res, "high_residual_frac": high}
