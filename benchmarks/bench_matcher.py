@@ -55,7 +55,7 @@ def make_inputs(K, N, D, seed=0):
     return arrays, perm, (pi, pj)
 
 
-def main(argv=None):
+def main(argv=None, print_json: bool = True):
     p = argparse.ArgumentParser()
     p.add_argument("--k", type=int, default=16, help="frames (pairs = k(k-1)/2)")
     p.add_argument("--n", type=int, default=512)
@@ -119,13 +119,15 @@ def main(argv=None):
           f" matches); gt precision xla={prec_x:.4f} pallas={prec_p:.4f}",
           file=sys.stderr)
     import json
-    print(json.dumps({
+    result = {
         "xla_ms": round(ms_x, 2), "pallas_ms": round(ms_p, 2),
         "speedup": round(ms_x / ms_p, 2), "agreement": round(agree, 4),
         "gt_precision_xla": round(prec_x, 4),
         "gt_precision_pallas": round(prec_p, 4),
-    }))
-    return ms_x, ms_p, agree
+    }
+    if print_json:
+        print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

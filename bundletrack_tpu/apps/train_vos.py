@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--clip-len", type=int, default=4)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--num-seqs", type=int, default=8)
+    parser.add_argument("--world", choices=["hard", "easy"], default="easy",
+                        help="hard: multi-shape fBm-textured worlds with "
+                        "backgrounds and occluder clips (data/hard_world.py)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ckpt-dir", default="")
     parser.add_argument("--ckpt-every", type=int, default=100)
@@ -69,14 +72,33 @@ def main(argv=None):
         )
         print(f"[train_vos] mesh dp={dp}", file=sys.stderr)
 
-    print(f"[train_vos] rendering {args.num_seqs} sequences...", file=sys.stderr)
+    print(f"[train_vos] rendering {args.num_seqs} {args.world} sequences...",
+          file=sys.stderr)
     pool = []
     T = args.clip_len
+    rng_w = np.random.RandomState(args.seed + 7)
+    shapes = ["cube", "cylinder", "lshape", "tshape"]
     for s in range(args.num_seqs):
-        seq = render_synthetic_sequence(
-            num_frames=T * args.batch, H=H, W=W, seed=args.seed + s,
-            orbit_deg_per_frame=3.0 + 0.5 * (s % 5),
-        )
+        if args.world == "hard":
+            from bundletrack_tpu.data import render_hard_sequence
+
+            seq = render_hard_sequence(
+                shape=shapes[s % len(shapes)],
+                num_frames=T * args.batch, H=H, W=W, seed=args.seed + 31 * s,
+                radius=0.45 + 0.15 * rng_w.rand(),
+                orbit_deg_per_frame=2.0 + 3.0 * rng_w.rand(),
+                roll_deg_per_frame=2.0 * rng_w.rand(),
+                scale_to=[1.0, 1.25, 0.8][s % 3],
+                depth_noise=0.0, depth_quant=0.0, hole_fraction=0.0,
+                mask_errors=False, background=True,
+                occluder=(s % 3 == 1),  # a third of the worlds get the
+                # sweeping distractor: VOS must not bleed onto it
+            )
+        else:
+            seq = render_synthetic_sequence(
+                num_frames=T * args.batch, H=H, W=W, seed=args.seed + s,
+                orbit_deg_per_frame=3.0 + 0.5 * (s % 5),
+            )
         starts = [b * T for b in range(args.batch)]
         pool.append(vos_clip_batch(seq, starts, T))
 

@@ -323,6 +323,11 @@ def render_hard_sequence(
     background: bool = True,
     bg_radius: float = 1.2,
     texture_octaves: int = 4,
+    # second object: a textured distractor cube sweeping between camera and
+    # target — occludes the target (mask/mask_gt exclude hidden pixels) and
+    # gives VOS a two-object discrimination problem
+    occluder: bool = False,
+    occluder_size: float = 0.35,  # relative to `size`
 ) -> HardSequence:
     fx = fy = 0.9 * W
     K = np.array([[fx, 0, W / 2 - 0.5], [0, fy, H / 2 - 0.5], [0, 0, 1]], np.float32)
@@ -355,6 +360,24 @@ def render_hard_sequence(
         t_obj = np.where(hit, t_obj, 0.0)
         p_obj = o + t_obj[..., None] * d
 
+        occ_closer = np.zeros_like(hit)
+        t_occ = None
+        p_occ = None
+        if occluder:
+            # distractor sweeps laterally on the camera side of the target
+            toward_cam = eye / max(np.linalg.norm(eye), 1e-6)
+            occ_c = 0.45 * np.linalg.norm(eye) * toward_cam + np.array([
+                1.2 * size * np.sin(0.25 * f),
+                0.6 * size * np.cos(0.2 * f),
+                0.0,
+            ])
+            occ_half = np.full(3, 0.5 * occluder_size * size)
+            t_o, n_o, hit_o = _intersect_box(o, d, occ_c, occ_half)
+            occ_closer = hit_o & (~hit | (t_o < np.where(hit, t_obj, np.inf)))
+            t_occ = np.where(occ_closer, t_o, 0.0)
+            p_occ = o + t_occ[..., None] * d
+            hit = hit & ~occ_closer  # target pixels hidden by the distractor
+
         # per-face albedo variation: quantize the normal into a face id so
         # different faces have different base brightness (low-contrast areas)
         face_id = (np.round(n_obj) * np.array([1, 3, 9])).sum(-1).astype(np.int64)
@@ -382,6 +405,15 @@ def render_hard_sequence(
             gray = np.where(hit, obj_gray, 0.05)
             depth_clean = np.where(hit, t_obj, 0.0).astype(np.float32)
             ndv_full = np.where(hit, ndotv, 1.0)
+
+        if occluder and occ_closer.any():
+            occ_tex = fbm3(p_occ, seed=seed + 555, octaves=texture_octaves,
+                           base_cell=0.3 * size)
+            gray = np.where(occ_closer, 0.30 + 0.60 * occ_tex, gray)
+            depth_clean = np.where(occ_closer, t_occ, depth_clean).astype(
+                np.float32
+            )
+            ndv_full = np.where(occ_closer, 1.0, ndv_full)
 
         gray = np.clip(gray, 0.0, 1.0).astype(np.float32)
         depth_deg = degrade_depth(

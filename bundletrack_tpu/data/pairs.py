@@ -207,12 +207,17 @@ def lfnet_roi_pair_batch(
 
 
 def vos_clip_batch(seq, clip_starts, clip_len: int):
-    """Build VOSTrainBatch arrays (clips + 0/1 labels from the object mask)."""
+    """Build VOSTrainBatch arrays (clips + 0/1 labels from the object mask).
+
+    Labels come from the EXACT mask when the sequence carries degraded
+    sensing (HardSequence.mask_gt) — the net must learn the true silhouette,
+    not the simulated VOS failure modes."""
+    _, _, mask = _clean_channels(seq)
     clips, labels = [], []
     for s in clip_starts:
         g = seq.gray[s : s + clip_len]
         clips.append(np.repeat(g[..., None], 3, axis=-1))
-        labels.append(seq.mask[s : s + clip_len].astype(np.int32))
+        labels.append(mask[s : s + clip_len].astype(np.int32))
     return {
         "clips": np.stack(clips).astype(np.float32),
         "labels": np.stack(labels),

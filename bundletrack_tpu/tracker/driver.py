@@ -24,6 +24,23 @@ from bundletrack_tpu.tracker.state import (
 )
 
 
+# jitted-step cache: cfg is a hashable frozen dataclass, so trackers with
+# identical configs share one compiled program instead of re-tracing (and,
+# pre-warm-cache, re-compiling) per Tracker instance — the bench and the
+# test suite construct many identically-configured trackers
+_STEP_CACHE: dict = {}
+
+
+def _cached_step(cfg: TrackerConfig, H: int, W: int, lfnet_apply, donate: bool):
+    key = (cfg, H, W, id(lfnet_apply) if lfnet_apply is not None else None, donate)
+    step = _STEP_CACHE.get(key)
+    if step is None:
+        fn = make_track_frame(cfg, H, W, lfnet_apply)
+        step = jax.jit(fn, donate_argnums=(0,) if donate else ())
+        _STEP_CACHE[key] = step
+    return step
+
+
 class Tracker:
     """Single-stream tracker with the reference's per-frame API."""
 
@@ -38,9 +55,8 @@ class Tracker:
     ):
         self.cfg = cfg
         self.H, self.W = H, W
-        step = make_track_frame(cfg, H, W, lfnet_apply)
         # donate the state buffers: the pool stays device-resident, zero-copy
-        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        self._step = _cached_step(cfg, H, W, lfnet_apply, donate)
         self.state: TrackerState = init_tracker_state(cfg, H, W, seed)
         self.outputs = []
 
