@@ -171,8 +171,12 @@ def lfnet_roi_pair_batch(
         u2, v2, s2side = _roi_square(mask_all[j])
         s1 = out_size / s1side
         s2 = out_size / s2side
-        c1 = _crop_resize_np(gray_all[i], u1, v1, s1side, out_size)
-        c2 = _crop_resize_np(gray_all[j], u2, v2, s2side, out_size)
+        # masked crops: the serving path blanks background before the net
+        # (frontend/pipeline.py, reference Frame::invalidatePixelsByMask)
+        g_i = np.where(mask_all[i], gray_all[i], 0.0).astype(np.float32)
+        g_j = np.where(mask_all[j], gray_all[j], 0.0).astype(np.float32)
+        c1 = _crop_resize_np(g_i, u1, v1, s1side, out_size)
+        c2 = _crop_resize_np(g_j, u2, v2, s2side, out_size)
         # compose: crop1 px -> orig1 -> warp -> orig2 -> crop2 px
         xs = u1 + np.arange(out_size, dtype=np.float32) / s1
         ys = v1 + np.arange(out_size, dtype=np.float32) / s1
@@ -188,12 +192,17 @@ def lfnet_roi_pair_batch(
         val_c = val_c & inside
         warp_c = np.where(val_c[..., None], warp_c, 0.0)
         if photometric and rng is not None:
-            for c in (c1, c2):
+            m1c = _crop_resize_np(
+                mask_all[i].astype(np.float32), u1, v1, s1side, out_size) > 0.5
+            m2c = _crop_resize_np(
+                mask_all[j].astype(np.float32), u2, v2, s2side, out_size) > 0.5
+            for c, mc in ((c1, m1c), (c2, m2c)):
                 gain = 0.75 + 0.5 * rng.rand()
                 bias = 0.1 * (rng.rand() - 0.5)
                 c *= gain
                 c += bias + (0.015 * rng.randn(*c.shape)).astype(np.float32)
                 np.clip(c, 0.0, 1.0, out=c)
+                c *= mc  # background stays blank, as served
         img1.append(c1[..., None])
         img2.append(c2[..., None])
         warps.append(warp_c)

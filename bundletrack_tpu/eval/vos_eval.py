@@ -25,9 +25,16 @@ def evaluate_vos(params, model, seg_cfg, seq, num_frames: int = 0,
     """Propagate seq.mask[0] through seq.gray frames; returns IoU stats.
 
     seq: SyntheticSequence-like (gray [F,H,W] in [0,1], mask [F,H,W] bool).
+    For HardSequence inputs the EXACT silhouette (mask_gt) is used for both
+    the init mask and the per-frame reference — the degraded mask simulates
+    VOS failure modes and is not a propagation ground truth.
     Returns dict(mean_iou, min_iou, per_frame list).
     """
     from bundletrack_tpu.models.vos import VOSPropagator
+
+    gt_mask = getattr(seq, "mask_gt", None)
+    if gt_mask is not None:
+        seq = seq._replace(mask=gt_mask)
 
     F, H, W = seq.gray.shape
     n = min(num_frames or F, F)

@@ -70,10 +70,14 @@ def extract_frame_features(
         )
         return _lift_to_3d(out, points_map, normals_map, valid_map)
 
-    # learned path: ROI crop -> net -> map back
+    # learned path: ROI crop -> net -> map back.  The crop is MASKED first:
+    # the reference invalidates every pixel outside the segmentation before
+    # the ROI reaches LF-Net (Frame::invalidatePixelsByMask zeroes gray/
+    # color/depth, src/Frame.cpp:317,342-358), so background texture never
+    # competes for top-K detections.
     umin, umax, vmin, vmax, nonempty = mask_roi(mask)
     crop, scale, ou, ov = crop_resize_square(
-        gray, (umin, umax, vmin, vmax), cfg.input_size
+        jnp.where(mask, gray, 0.0), (umin, umax, vmin, vmax), cfg.input_size
     )
     out = lfnet_apply(crop[..., None])
     kpts_orig = keypoints_to_original(out.kpts_uv, scale, ou, ov)

@@ -67,7 +67,15 @@ class TestE2EParity:
                     "mask_dir": os.path.join(seq_dir, "masks"),
                     "debug_dir": out_dir,
                     "LOG": 0,
-                    "bundle": {"num_iter_outter": 7, "max_BA_frames": 16},
+                    # reference schema keys plus our capacity extensions,
+                    # sized down for the 2-core CI host (coverage unchanged:
+                    # the chain still exercises loader -> tracker -> eval)
+                    "bundle": {"num_iter_outter": 7, "max_BA_frames": 8,
+                               "dense_src_capacity": 512},
+                    "keyframe": {"pool_size": 8},
+                    "frontend": {"top_k": 256},
+                    "ransac": {"max_iter": 512},
+                    "shapes": {"max_matches": 128},
                 },
                 f,
             )
@@ -116,6 +124,11 @@ class TestE2ENocs:
                     # 6-pack datalist needs the real dataset tree; plain dir
                     # scan mode here
                     "use_6pack_datalist": False,
+                    "bundle": {"max_BA_frames": 8, "dense_src_capacity": 512},
+                    "keyframe": {"pool_size": 8},
+                    "frontend": {"top_k": 256},
+                    "ransac": {"max_iter": 512},
+                    "shapes": {"max_matches": 128},
                 },
                 f,
             )
