@@ -65,23 +65,30 @@ def main(argv=None):
     H, W = first.shape[:2]
     cfg = SegmentationConfig()
 
-    model = VOSNet()
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
     default_npz = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "checkpoints", "vos_params.npz",
     )
     ckpt = args.checkpoint or (default_npz if os.path.exists(default_npz) else "")
     if ckpt.endswith(".npz"):
-        from bundletrack_tpu.utils.params_io import load_params_npz
+        from bundletrack_tpu.models.vos import load_vos_npz
 
-        params = load_params_npz(ckpt, params)
-        print(f"[run_vos] weights: {ckpt}", file=sys.stderr)
+        # architecture (width/out_dim) inferred from the checkpoint itself
+        model, params = load_vos_npz(ckpt)
+        print(f"[run_vos] weights: {ckpt} (width={model.width})", file=sys.stderr)
     elif ckpt:
         from bundletrack_tpu.utils.checkpoint import restore_tracker_state
 
+        model = VOSNet()
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3))
+        )["params"]
         params = restore_tracker_state(ckpt, params)
     else:
+        model = VOSNet()
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3))
+        )["params"]
         print(
             "[run_vos] WARNING: no --checkpoint given; using untrained weights "
             "(train with apps/train_vos.py)",

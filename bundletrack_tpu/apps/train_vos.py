@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--clip-len", type=int, default=4)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--num-seqs", type=int, default=8)
+    parser.add_argument("--width", type=int, default=32,
+                        help="VOSNet stem width (backbone capacity)")
     parser.add_argument("--world", choices=["hard", "easy"], default="easy",
                         help="hard: multi-shape fBm-textured worlds with "
                         "backgrounds and occluder clips (data/hard_world.py)")
@@ -52,7 +54,7 @@ def main(argv=None):
     from bundletrack_tpu.utils.timing import hard_sync
 
     H = W = args.size
-    model = VOSNet()
+    model = VOSNet(width=args.width)
     params = model.init(
         jax.random.PRNGKey(args.seed), jnp.zeros((1, H, W, 3))
     )["params"]

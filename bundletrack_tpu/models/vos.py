@@ -212,3 +212,23 @@ class VOSPropagator:
         W = self.w * self.cfg.downscale
         up = jax.image.resize(soft, (H, W, self.num_labels), "bilinear")
         return np.asarray(jnp.argmax(up, axis=-1) > 0)
+
+
+def load_vos_npz(path: str):
+    """Load VOS weights from an npz; architecture inferred FROM the file.
+
+    Width comes from the stem conv's output channels and out_dim from the
+    projection conv, so callers need no out-of-band architecture metadata
+    (the reference hard-codes resnet50 + a .pth, run_video.py:167-181).
+    Returns (model, params).
+    """
+    import numpy as np
+
+    from bundletrack_tpu.utils.params_io import load_params_npz as _load
+
+    data = np.load(path)
+    width = int(data["Conv_0/kernel"].shape[-1])
+    out_dim = int(data["Conv_1/kernel"].shape[-1])
+    model = VOSNet(out_dim=out_dim, width=width)
+    like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    return model, _load(path, like)
