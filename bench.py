@@ -257,6 +257,45 @@ def _fleet_analysis(table, classical_fps):
     )
 
 
+def _bench_vos():
+    """VOS propagation IoU: easy 32-frame + hard 110-frame + occluder clip
+    (VERDICT r3 task 7 evidence), with the shipped checkpoint."""
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "checkpoints", "vos_params.npz")
+    if not os.path.exists(ckpt):
+        return None
+    from bundletrack_tpu.config import SegmentationConfig
+    from bundletrack_tpu.data import render_hard_sequence, render_synthetic_sequence
+    from bundletrack_tpu.eval import evaluate_vos
+    from bundletrack_tpu.models.vos import load_vos_npz
+
+    model, params = load_vos_npz(ckpt)
+    seg = SegmentationConfig()
+    out = {}
+    easy = render_synthetic_sequence(num_frames=32, H=96, W=96, seed=999,
+                                     orbit_deg_per_frame=4.0)
+    r = evaluate_vos(params, model, seg, easy)
+    out["easy32"] = {"mean_iou": round(r["mean_iou"], 3),
+                     "min_iou": round(r["min_iou"], 3)}
+    hard = render_hard_sequence(
+        "lshape", num_frames=110, H=96, W=96, seed=777,
+        orbit_deg_per_frame=3.0, depth_noise=0.0, depth_quant=0.0,
+        hole_fraction=0.0, mask_errors=False, background=True)
+    r = evaluate_vos(params, model, seg, hard)
+    out["hard110"] = {"mean_iou": round(r["mean_iou"], 3),
+                      "min_iou": round(r["min_iou"], 3)}
+    occ = render_hard_sequence(
+        "cube", num_frames=48, H=96, W=96, seed=778,
+        orbit_deg_per_frame=3.0, depth_noise=0.0, depth_quant=0.0,
+        hole_fraction=0.0, mask_errors=False, background=True, occluder=True)
+    r = evaluate_vos(params, model, seg, occ)
+    out["occluder48"] = {"mean_iou": round(r["mean_iou"], 3),
+                         "tail10_mean": round(float(
+                             np.mean(r["per_frame"][-10:])), 3)}
+    print(f"[bench] vos: {out}", file=sys.stderr)
+    return out
+
+
 def _bench_cpu_mesh_scaling():
     """8-virtual-device fleet scaling efficiency, measured in a CPU
     subprocess (the TPU process cannot host a CPU mesh)."""
@@ -427,6 +466,9 @@ def main():
     extra["fleet_analysis"] = _fleet_analysis(
         extra["fleet_table_240x320"], extra["classical_fps"]
     )
+    vos = _bench_vos()
+    if vos:
+        extra["vos"] = vos
     scal = _bench_cpu_mesh_scaling()
     extra["sharded_fleet_8dev_ok"] = bool(scal)
 
