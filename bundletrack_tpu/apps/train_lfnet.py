@@ -100,6 +100,10 @@ def main(argv=None):
                         help="cosine-decay the lr to lr/10 over --steps")
     parser.add_argument("--top-k", type=int, default=128)
     parser.add_argument("--desc-dim", type=int, default=256)
+    parser.add_argument("--net-channel", type=int, default=16)
+    parser.add_argument("--num-scales", type=int, default=5)
+    parser.add_argument("--desc-channel", type=int, default=64)
+    parser.add_argument("--sm-ksize", type=int, default=15)
     parser.add_argument("--num-seqs", type=int, default=8,
                         help="worlds in the render pool (min = --batch)")
     parser.add_argument("--world", choices=["hard", "easy"], default="hard")
@@ -127,7 +131,9 @@ def main(argv=None):
 
     cfg = FrontendConfig(
         kind="lfnet", input_size=args.size, top_k=args.top_k,
-        desc_dim=args.desc_dim,
+        desc_dim=args.desc_dim, net_channel=args.net_channel,
+        net_num_scales=args.num_scales, desc_net_channel=args.desc_channel,
+        sm_ksize=args.sm_ksize,
     )
     model, params = init_lfnet(cfg, key=jax.random.PRNGKey(args.seed))
     if args.lr_decay == "cosine":

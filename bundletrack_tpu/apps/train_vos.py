@@ -31,9 +31,16 @@ def main(argv=None):
     parser.add_argument("--num-seqs", type=int, default=8)
     parser.add_argument("--width", type=int, default=32,
                         help="VOSNet stem width (backbone capacity)")
-    parser.add_argument("--world", choices=["hard", "easy"], default="easy",
+    parser.add_argument("--rollout", action="store_true",
+                        help="sequential rollout loss: refs carry the "
+                        "model's own predictions (inference-faithful)")
+    parser.add_argument("--init-npz", default="",
+                        help="warm-start params from an npz checkpoint")
+    parser.add_argument("--world", choices=["hard", "easy", "mix"],
+                        default="easy",
                         help="hard: multi-shape fBm-textured worlds with "
-                        "backgrounds and occluder clips (data/hard_world.py)")
+                        "backgrounds and occluder clips (data/hard_world.py); "
+                        "mix: 3 hard : 1 easy")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ckpt-dir", default="")
     parser.add_argument("--ckpt-every", type=int, default=100)
@@ -58,12 +65,18 @@ def main(argv=None):
     params = model.init(
         jax.random.PRNGKey(args.seed), jnp.zeros((1, H, W, 3))
     )["params"]
+    if args.init_npz:
+        from bundletrack_tpu.utils.params_io import load_params_npz
+
+        params = load_params_npz(args.init_npz, params)
+        print(f"[train_vos] warm start from {args.init_npz}", file=sys.stderr)
     tx = optax.adam(args.lr)
 
     n_dev = jax.device_count()
     if args.mesh == "none" or n_dev == 1:
         step = jax.jit(
-            make_vos_train_step(model, tx, (H, W)), donate_argnums=(1,)
+            make_vos_train_step(model, tx, (H, W), rollout=args.rollout),
+            donate_argnums=(1,)
         )
         opt_state = tx.init(params)
     else:
@@ -81,12 +94,26 @@ def main(argv=None):
     rng_w = np.random.RandomState(args.seed + 7)
     shapes = ["cube", "cylinder", "lshape", "tshape"]
     for s in range(args.num_seqs):
-        if args.world == "hard":
+        # curriculum (hard world): even entries are standard strided clips;
+        # odd entries are FAR PAIRS — one GT reference 15-35 frames from the
+        # target.  Within-clip GT-ref propagation saturates (train IoU hits
+        # 1.0 while 110-frame inference still drifts); the far-pair task is
+        # the novel-viewpoint discrimination inference actually needs.
+        # world "mix": every 4th entry is an easy (black-background) world so
+        # hard-world training does not regress the clean regime
+        is_hard = args.world == "hard" or (args.world == "mix" and s % 4 != 3)
+        far_pair = is_hard and s % 2 == 1
+        if far_pair:
+            T_s, stride = 2, 15 + 5 * ((s // 2) % 5)
+        else:
+            T_s, stride = T, (1 + (s % 4) if is_hard else 1)
+        if is_hard:
             from bundletrack_tpu.data import render_hard_sequence
 
             seq = render_hard_sequence(
                 shape=shapes[s % len(shapes)],
-                num_frames=T * args.batch, H=H, W=W, seed=args.seed + 31 * s,
+                num_frames=T_s * args.batch * stride, H=H, W=W,
+                seed=args.seed + 31 * s,
                 radius=0.45 + 0.15 * rng_w.rand(),
                 orbit_deg_per_frame=2.0 + 3.0 * rng_w.rand(),
                 roll_deg_per_frame=2.0 * rng_w.rand(),
@@ -98,11 +125,12 @@ def main(argv=None):
             )
         else:
             seq = render_synthetic_sequence(
-                num_frames=T * args.batch, H=H, W=W, seed=args.seed + s,
+                num_frames=T_s * args.batch * stride, H=H, W=W,
+                seed=args.seed + s,
                 orbit_deg_per_frame=3.0 + 0.5 * (s % 5),
             )
-        starts = [b * T for b in range(args.batch)]
-        pool.append(vos_clip_batch(seq, starts, T))
+        starts = [b * T_s * stride for b in range(args.batch)]
+        pool.append(vos_clip_batch(seq, starts, T_s, stride=stride))
 
     def to_batch(d):
         return VOSTrainBatch(

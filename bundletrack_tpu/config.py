@@ -227,6 +227,12 @@ class SegmentationConfig:
     temperature: float = 0.05
     range_: int = 40
     downscale: int = 8
+    # EXTENSION (not in the reference): keep the GT-initialized first frame
+    # pinned as the oldest sparse reference forever.  The reference's
+    # range_=40 sampling (lib/predict.py:63-78) plus a finite history ring
+    # drops the only ground-truth anchor, so long propagations drift
+    # unrecoverably; False restores exact reference behavior.
+    anchor_first: bool = True
 
 
 @_frozen

@@ -215,18 +215,25 @@ def lfnet_roi_pair_batch(
     }
 
 
-def vos_clip_batch(seq, clip_starts, clip_len: int):
+def vos_clip_batch(seq, clip_starts, clip_len: int, stride: int = 1):
     """Build VOSTrainBatch arrays (clips + 0/1 labels from the object mask).
 
     Labels come from the EXACT mask when the sequence carries degraded
     sensing (HardSequence.mask_gt) — the net must learn the true silhouette,
-    not the simulated VOS failure modes."""
+    not the simulated VOS failure modes.
+
+    `stride` subsamples the clip (frames s, s+stride, ...): at inference the
+    sparse reference memory holds frames up to ~40 frames old
+    (reference lib/predict.py:63-78), so training must expose the attention
+    to large appearance gaps, not just consecutive frames."""
     _, _, mask = _clean_channels(seq)
     clips, labels = [], []
     for s in clip_starts:
-        g = seq.gray[s : s + clip_len]
+        idx = s + stride * np.arange(clip_len)
+        idx = np.clip(idx, 0, seq.gray.shape[0] - 1)
+        g = seq.gray[idx]
         clips.append(np.repeat(g[..., None], 3, axis=-1))
-        labels.append(mask[s : s + clip_len].astype(np.int32))
+        labels.append(mask[idx].astype(np.int32))
     return {
         "clips": np.stack(clips).astype(np.float32),
         "labels": np.stack(labels),

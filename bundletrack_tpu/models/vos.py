@@ -185,12 +185,22 @@ class VOSPropagator:
     def _resize_feat(self, feat):
         return jax.image.resize(feat, (self.h, self.w, feat.shape[-1]), "bilinear")
 
-    def _propagate_impl(self, state, feat):
+    def _propagate_impl(self, state, feat, anchor_feat, anchor_label):
         slots, valid, is_recent = select_references(
             state, self.cfg.ref_num, dense_num=4, range_=self.cfg.range_
         )
+        ref_feats = state.feats[slots]
+        ref_labels = state.labels[slots]
+        if self.cfg.anchor_first:
+            # pin the GT-initialized first frame as the oldest sparse ref —
+            # EXTENSION over the reference, whose range_=40 sampling window
+            # (lib/predict.py:63-78) loses the only ground-truth anchor
+            # after 40 frames, making long-horizon drift unrecoverable
+            ref_feats = ref_feats.at[-1].set(anchor_feat)
+            ref_labels = ref_labels.at[-1].set(anchor_label)
+            valid = valid.at[-1].set(True)
         soft = propagate_labels(
-            state.feats[slots], state.labels[slots], valid, is_recent,
+            ref_feats, ref_labels, valid, is_recent,
             feat, self.w1, self.w2, self.cfg.temperature,
         )
         return soft
@@ -202,11 +212,15 @@ class VOSPropagator:
             (self.h, self.w, self.num_labels),
             "nearest",
         )
+        self._anchor_feat = feat
+        self._anchor_label = lab
         self.state = vos_push(self.state, feat, lab, 0)
 
     def propagate(self, rgb: np.ndarray) -> np.ndarray:
         feat = self._resize_feat(self._extract(self.params, jnp.asarray(rgb)))
-        soft = self._propagate(self.state, feat)
+        soft = self._propagate(
+            self.state, feat, self._anchor_feat, self._anchor_label
+        )
         self.state = vos_push(self.state, feat, soft, int(self.state.count))
         H = self.h * self.cfg.downscale
         W = self.w * self.cfg.downscale

@@ -81,6 +81,8 @@ class TestTrainerApps:
         metrics = main([
             "--steps", "6", "--size", "32", "--batch", "2", "--top-k", "16",
             "--desc-dim", "32", "--num-seqs", "1", "--log-every", "1",
+            "--net-channel", "8", "--num-scales", "3", "--desc-channel", "16",
+            "--sm-ksize", "5",
             "--mesh", "none", "--lr", "1e-3",
             "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "6",
         ])
@@ -101,6 +103,8 @@ class TestTrainerApps:
         args = [
             "--size", "32", "--batch", "2", "--top-k", "16",
             "--desc-dim", "32", "--num-seqs", "1", "--log-every", "2",
+            "--net-channel", "8", "--num-scales", "3", "--desc-channel", "16",
+            "--sm-ksize", "5",
             "--mesh", "none", "--ckpt-dir", str(tmp_path / "ck"),
             "--ckpt-every", "2",
         ]
