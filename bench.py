@@ -241,19 +241,22 @@ def _fleet_analysis(table, classical_fps):
     smax_key = max(table, key=lambda k: table[k])
     gain = table[smax_key] / max(s1, 1e-6)
     return (
-        f"Stream batching at 240x320 reaches {table[smax_key]} aggregate fps "
-        f"({smax_key}) vs {s1} at S=1 — a {gain:.2f}x utilization gain. The "
-        "per-frame step is dominated by chip-wide ops that already fill the "
-        "v5e at S=1: the BA matcher contracts [120,512,512] distance "
-        "matrices on the MXU (~16 GFLOP/frame in bf16), multi-pair RANSAC "
-        "evaluates 120x2000 trials x 256 matches, and the dense term "
-        "gathers 16x2048 projective associations per GN iteration — none of "
-        "these are small enough to leave idle MXU/VPU lanes for a second "
-        "stream. Batching therefore only fills scheduling bubbles between "
-        "stages (the fleet gain above), and the correct scale-out axis for "
-        "throughput is streams ACROSS chips (communication-free, linear by "
-        "construction) while within-stream latency scales via the pair-"
-        "sharded BA (parallel/pair_sharded.py)."
+        f"Stream batching at 240x320 peaks at {table[smax_key]} aggregate "
+        f"fps ({smax_key}) vs {s1} at S=1 — a {gain:.2f}x utilization gain, "
+        "with two ceilings. (1) Compute: the per-frame step is dominated by "
+        "chip-wide ops that already fill the v5e at S=1 — the BA matcher "
+        "contracts [120,512,512] distance matrices on the MXU (~16 GFLOP/"
+        "frame bf16), multi-pair RANSAC evaluates 120x2000 trials x 256 "
+        "matches, and the dense term gathers 16x2048 projective "
+        "associations per GN iteration — so extra streams mostly fill "
+        "scheduling bubbles between stages. (2) Host->device bandwidth: "
+        "every stream ships ~0.25 MB of raw sensor data per frame over the "
+        "single-chip tunnel, which caps and then bends the curve back down "
+        "at the largest S (observed s32 < s16). Both ceilings argue the "
+        "same design: throughput scales with streams ACROSS chips (each "
+        "stream's transfers and compute land on its own chip; zero "
+        "cross-chip collectives), while within-stream latency scales via "
+        "the pair-sharded BA (parallel/pair_sharded.py)."
     )
 
 
