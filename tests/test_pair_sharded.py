@@ -134,6 +134,67 @@ class TestPairShardedBA:
         assert err_opt < 0.35 * err_init
         assert err_opt < 0.004
 
+    def test_dense_term_matches_single_device(self):
+        """Sharded solve WITH the dense point-to-plane term == unsharded.
+
+        The dense tables are replicated and each device evaluates only its
+        local pairs' projective associations; the psum must reassemble the
+        identical global system."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from bundletrack_tpu.solver.dense_p2p import (
+            compact_frame,
+            stack_frame_dense,
+        )
+
+        cfg = _cfg().replace(bundle=BundleConfig(
+            w_dense_depth=1.0, dense_src_capacity=256, num_iter_outer=3,
+        ))
+        table, _, pi, pj = _make_problem()
+        rng = np.random.RandomState(3)
+        Hl, Wl = 24, 32
+        K_low = jnp.asarray(
+            [[40.0, 0, Wl / 2], [0, 40.0, Hl / 2], [0, 0, 1]], jnp.float32
+        )
+        depth = 0.5 + 0.05 * rng.rand(K_FRAMES, Hl, Wl).astype(np.float32)
+        fds = [
+            compact_frame(
+                jnp.stack(
+                    [jnp.zeros((Hl, Wl))] * 2 + [jnp.asarray(depth[k])], -1
+                ),
+                jnp.concatenate(
+                    [jnp.zeros((Hl, Wl, 2)), -jnp.ones((Hl, Wl, 1))], -1
+                ),
+                jnp.ones((Hl, Wl), bool),
+                cfg.bundle.dense_src_capacity,
+            )
+            for k in range(K_FRAMES)
+        ]
+        dense = stack_frame_dense(
+            jnp.stack([f.src for f in fds]), jnp.stack([f.valid for f in fds]),
+            jnp.stack([f.lin for f in fds]), jnp.stack([f.tchan for f in fds]),
+        )
+        pair_valid = jnp.ones((len(pi),), bool)
+        key = jax.random.PRNGKey(11)
+
+        mesh = make_mesh({"pairs": 8})
+        step = make_pair_sharded_ba(cfg, mesh)
+        poses_sh, cost_sh, _ = jax.jit(step)(
+            table, dense, K_low, jnp.asarray(pi), jnp.asarray(pj),
+            pair_valid, key,
+        )
+        keys = jax.random.split(key, len(pi))
+        poses_1, cost_1, _ = jax.jit(
+            lambda t, d, k_l, i, j, pv, ks: _ba_local(
+                t, d, k_l, i, j, pv, ks, cfg=cfg, axis_name=None
+            )
+        )(table, dense, K_low, jnp.asarray(pi), jnp.asarray(pj),
+          pair_valid, keys)
+        np.testing.assert_allclose(
+            np.asarray(poses_sh), np.asarray(poses_1), atol=2e-4
+        )
+        np.testing.assert_allclose(float(cost_sh), float(cost_1), rtol=1e-3)
+
     def test_uneven_pairs_rejected(self):
         cfg = _cfg()
         table, _, pi, pj = _make_problem()
