@@ -110,8 +110,11 @@ def _clean_channels(seq):
 def _roi_square(mask: np.ndarray):
     """Mask ROI -> (umin, vmin, side) of the square crop box (mirrors
     ops/resize.crop_resize_square: side = max(w, h), anchored at the ROI's
-    top-left, matching the serving-path affine exactly)."""
+    top-left, matching the serving-path affine exactly).  An empty mask
+    (full occlusion / degraded segmentation) falls back to the full frame."""
     ys, xs = np.nonzero(mask)
+    if xs.size == 0:
+        return 0, 0, max(mask.shape)
     umin, umax = int(xs.min()), int(xs.max())
     vmin, vmax = int(ys.min()), int(ys.max())
     side = max(umax - umin + 1, vmax - vmin + 1)
@@ -181,10 +184,28 @@ def lfnet_roi_pair_batch(
         xs = u1 + np.arange(out_size, dtype=np.float32) / s1
         ys = v1 + np.arange(out_size, dtype=np.float32) / s1
         H, W = mask_all[i].shape
-        xi = np.clip(np.round(xs).astype(np.int64), 0, W - 1)
-        yi = np.clip(np.round(ys).astype(np.int64), 0, H - 1)
-        w_c = w_full[yi[:, None], xi[None, :]]  # [out, out, 2] orig2 coords
-        val_c = val_full[yi[:, None], xi[None, :]]
+        # bilinear sample of the full-res warp field at the fractional crop
+        # coordinates (nearest rounding adds up to ~0.5*s2 px of error to the
+        # InfoNCE positives when the ROI is upscaled); validity requires all
+        # four taps valid so interpolation never mixes invalid correspondences
+        x0 = np.clip(np.floor(xs).astype(np.int64), 0, W - 1)
+        y0 = np.clip(np.floor(ys).astype(np.int64), 0, H - 1)
+        x1b = np.minimum(x0 + 1, W - 1)
+        y1b = np.minimum(y0 + 1, H - 1)
+        fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+        fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+        w_c = (
+            w_full[y0[:, None], x0[None, :]] * (1 - fx) * (1 - fy)
+            + w_full[y0[:, None], x1b[None, :]] * fx * (1 - fy)
+            + w_full[y1b[:, None], x0[None, :]] * (1 - fx) * fy
+            + w_full[y1b[:, None], x1b[None, :]] * fx * fy
+        )  # [out, out, 2] orig2 coords
+        val_c = (
+            val_full[y0[:, None], x0[None, :]]
+            & val_full[y0[:, None], x1b[None, :]]
+            & val_full[y1b[:, None], x0[None, :]]
+            & val_full[y1b[:, None], x1b[None, :]]
+        )
         wx = (w_c[..., 0] - u2) * s2
         wy = (w_c[..., 1] - v2) * s2
         inside = (wx >= 0) & (wx <= out_size - 1) & (wy >= 0) & (wy <= out_size - 1)

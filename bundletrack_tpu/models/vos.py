@@ -199,6 +199,10 @@ class VOSPropagator:
             ref_feats = ref_feats.at[-1].set(anchor_feat)
             ref_labels = ref_labels.at[-1].set(anchor_label)
             valid = valid.at[-1].set(True)
+            # the pinned slot is always an OLD reference: force the loose
+            # sigma2 prior even in degenerate configs (ref_num <= dense_num)
+            # where slot -1 would otherwise be a dense recent reference
+            is_recent = is_recent.at[-1].set(False)
         soft = propagate_labels(
             ref_feats, ref_labels, valid, is_recent,
             feat, self.w1, self.w2, self.cfg.temperature,

@@ -111,7 +111,9 @@ def _ba_local(
         dense_compact=dense_compact,
         K_lowres=K_lowres,
     )
-    poses, info = optimize_pose_graph(inputs, cfg.bundle, axis_name=axis_name)
+    poses, info = optimize_pose_graph(
+        inputs, cfg.bundle, p2p=cfg.p2p, axis_name=axis_name
+    )
     return poses, info["final_cost"], info["high_residual_frac"]
 
 

@@ -92,12 +92,18 @@ def build_normal_equations(
     cfg,
     dense_compact: Optional[CompactDense] = None,
     axis_name: Optional[str] = None,
+    p2p=None,
 ):
     """Assemble H/g from sparse + dense terms (one GN linearization).
 
     `dense_compact` should be built once per solve with compact_dense_frames
     (the compaction + gather-table packing is pose-independent); when omitted
     it is built here.
+
+    `p2p`: P2PConfig with the dense-association gates (max_dist,
+    max_normal_angle, min_pair_pixels) the reference reads from YAML into the
+    solver (src/cuda/Solver/CUDASolverBundling.cpp:93-99); None keeps the
+    reference defaults.
 
     `axis_name`: when running inside shard_map with the correspondence PAIR
     axis sharded across devices (SURVEY §2.6's within-stream scale axis; the
@@ -124,6 +130,13 @@ def build_normal_equations(
                 capacity=cfg.dense_src_capacity,
                 with_color=cfg.w_dense_color > 0.0,
             )
+        p2p_kw = {}
+        if p2p is not None:
+            p2p_kw = dict(
+                max_dist=p2p.max_dist,
+                max_normal_deg=p2p.max_normal_angle,
+                min_pair_pixels=p2p.min_pair_pixels,
+            )
         Hd, gd, cd, _ = dense_p2p_from_compact(
             inputs.poses,
             dense_compact,
@@ -134,6 +147,7 @@ def build_normal_equations(
             robust_delta=cfg.robust_delta,
             weight=cfg.w_dense_depth,
             weight_color=cfg.w_dense_color,
+            **p2p_kw,
         )
         H = H + Hd
         g = g + gd
@@ -146,12 +160,15 @@ def build_normal_equations(
 
 
 def optimize_pose_graph(
-    inputs: GraphInputs, cfg, p2p_cfg=None, axis_name: Optional[str] = None
+    inputs: GraphInputs, cfg, p2p=None, axis_name: Optional[str] = None
 ):
     """Run the full robust-GN outer loop; returns (poses [K,4,4], info dict).
 
     cfg: BundleConfig (num_iter_outer, num_iter_inner, robust_delta,
     lm_lambda, solver_backend, w_sparse/w_dense_depth).
+
+    p2p: P2PConfig dense-association gates (reference p2p.* YAML keys,
+    src/cuda/Solver/CUDASolverBundling.cpp:93-99); None = reference defaults.
 
     axis_name: pair-axis sharding inside shard_map — see
     build_normal_equations.  After the psum every device holds identical H/g
@@ -175,7 +192,7 @@ def optimize_pose_graph(
 
     def gn_step(poses):
         cur = inputs._replace(poses=poses)
-        H, g, cost = build_normal_equations(cur, cfg, dense_compact, axis_name)
+        H, g, cost = build_normal_equations(cur, cfg, dense_compact, axis_name, p2p)
         free = inputs.free_mask & inputs.frame_valid
         H, g = _apply_gauge(H, g, free)
         if cfg.solver_backend == "pcg":
@@ -229,7 +246,7 @@ def optimize_pose_graph(
 
 
 def optimize_pose_graph_verified(
-    inputs: GraphInputs, cfg, axis_name: Optional[str] = None
+    inputs: GraphInputs, cfg, p2p=None, axis_name: Optional[str] = None
 ):
     """optimize_pose_graph + the useVerification reject path.
 
@@ -239,7 +256,7 @@ def optimize_pose_graph_verified(
     CUDASolverBundling::useVerification, CUDASolverBundling.cpp:396-417).
     Returns (poses, rejected, info).
     """
-    poses, info = optimize_pose_graph(inputs, cfg, axis_name=axis_name)
+    poses, info = optimize_pose_graph(inputs, cfg, p2p=p2p, axis_name=axis_name)
     rejected = jnp.asarray(False)
     if cfg.use_verification:
         rejected = info["high_residual_frac"] >= cfg.verify_percent_thresh

@@ -313,7 +313,7 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                     K_lowres=K_low,
                 )
                 opt_poses, reject, _info = optimize_pose_graph_verified(
-                    inputs, cfg.bundle
+                    inputs, cfg.bundle, p2p=cfg.p2p
                 )
                 return opt_poses, reject
 

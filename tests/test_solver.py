@@ -205,6 +205,101 @@ class TestDensePointToPlane:
         assert residual_offset < 0.002
 
 
+class TestP2PConfigPlumbing:
+    """YAML p2p.* gates must reach the dense term (reference reads
+    p2p.max_dist / max_normal_angle into the solver,
+    src/cuda/Solver/CUDASolverBundling.cpp:93-99)."""
+
+    def _plane_inputs(self):
+        H_img, W_img = 32, 40
+        K_mat = np.array(
+            [[40.0, 0, W_img / 2 - 0.5], [0, 40.0, H_img / 2 - 0.5], [0, 0, 1]],
+            np.float32,
+        )
+        u = np.arange(W_img)[None, :].repeat(H_img, 0).astype(np.float32)
+        v = np.arange(H_img)[:, None].repeat(W_img, 1).astype(np.float32)
+        fx, fy, cx, cy = K_mat[0, 0], K_mat[1, 1], K_mat[0, 2], K_mat[1, 2]
+        a, b = 0.2, 0.1
+        z = 1.0 / (1.0 - a * (u - cx) / fx - b * (v - cy) / fy)
+        pts = np.asarray(unproject(jnp.asarray(z), jnp.asarray(K_mat)))
+        n = np.array([a, b, -1.0], np.float32)
+        n /= np.linalg.norm(n)
+        normals = np.tile(n, (H_img, W_img, 1)).astype(np.float32)
+        valid = np.ones((H_img, W_img), bool)
+        frames = DenseFrames(
+            points=jnp.asarray(np.stack([pts, pts])),
+            normals=jnp.asarray(np.stack([normals, normals])),
+            valid=jnp.asarray(np.stack([valid, valid])),
+        )
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        poses[1][:3, 3] = 0.005 * n
+        corres = SparseCorres(
+            pair_i=jnp.asarray([0], jnp.int32),
+            pair_j=jnp.asarray([1], jnp.int32),
+            pts_i=jnp.zeros((1, 4, 3)),
+            pts_j=jnp.zeros((1, 4, 3)),
+            valid=jnp.zeros((1, 4), bool),
+        )
+        inputs = GraphInputs(
+            poses=jnp.asarray(poses),
+            frame_valid=jnp.ones(2, bool),
+            free_mask=jnp.asarray([False, True]),
+            corres=corres,
+            dense=frames,
+            K_lowres=jnp.asarray(K_mat),
+        )
+        return inputs, np.asarray(poses), n
+
+    def test_yaml_p2p_changes_normal_equations(self):
+        from bundletrack_tpu.config import TrackerConfig, load_config
+        from bundletrack_tpu.solver.gauss_newton import build_normal_equations
+
+        inputs, _, _ = self._plane_inputs()
+        cfg = TrackerConfig(bundle=BundleConfig(w_sparse=0.0, w_dense_depth=1.0))
+        # tighten the gate below the 5 mm plane offset -> all associations cut
+        tight = load_config(
+            {"p2p": {"max_dist": 0.0005, "min_pair_pixels": 10}}, base=cfg
+        )
+        loose = load_config(
+            {"p2p": {"max_dist": 0.02, "min_pair_pixels": 10}}, base=cfg
+        )
+        assert tight.p2p.max_dist == 0.0005  # YAML key parsed
+        H_t, _, _ = build_normal_equations(inputs, cfg.bundle, p2p=tight.p2p)
+        H_l, _, _ = build_normal_equations(inputs, cfg.bundle, p2p=loose.p2p)
+        assert float(jnp.abs(H_t).sum()) == 0.0
+        assert float(jnp.abs(H_l).sum()) > 0.0
+
+    def test_min_pair_pixels_gate(self):
+        from bundletrack_tpu.config import P2PConfig
+        from bundletrack_tpu.solver.gauss_newton import build_normal_equations
+
+        inputs, _, _ = self._plane_inputs()
+        bcfg = BundleConfig(w_sparse=0.0, w_dense_depth=1.0)
+        # the 32x40 plane yields ~1280 associations; demanding more drops the pair
+        H_hi, _, _ = build_normal_equations(
+            inputs, bcfg, p2p=P2PConfig(min_pair_pixels=10_000)
+        )
+        H_lo, _, _ = build_normal_equations(
+            inputs, bcfg, p2p=P2PConfig(min_pair_pixels=100)
+        )
+        assert float(jnp.abs(H_hi).sum()) == 0.0
+        assert float(jnp.abs(H_lo).sum()) > 0.0
+
+    def test_optimize_respects_p2p(self):
+        """A gate that cuts the only signal must leave the offset unsolved."""
+        from bundletrack_tpu.config import P2PConfig
+
+        inputs, poses, n = self._plane_inputs()
+        cfg = BundleConfig(w_sparse=0.0, w_dense_depth=1.0, num_iter_outer=5)
+        out_loose, _ = optimize_pose_graph(inputs, cfg, p2p=P2PConfig())
+        out_tight, _ = optimize_pose_graph(
+            inputs, cfg, p2p=P2PConfig(max_dist=0.0005)
+        )
+        assert abs(np.dot(np.asarray(out_loose)[1][:3, 3], n)) < 0.002
+        # gated-out dense term -> no information -> pose unchanged
+        np.testing.assert_allclose(np.asarray(out_tight), poses, atol=1e-6)
+
+
 class TestCompactFrame:
     """Per-frame (admission-time) compaction must match the batched per-solve
     compaction that the standalone API uses."""
