@@ -100,6 +100,14 @@ class BundleConfig:
     use_verification: bool = False
     verify_dist_thresh: float = 0.02  # m_verifyOptDistThresh
     verify_percent_thresh: float = 0.05  # m_verifyOptPercentThresh
+    # Within-stream multi-chip parallelism (SURVEY §2.6; reference analog:
+    # one CUDA stream per pair, src/cuda/cuda_ransac.cu:1267-1284): name of
+    # the mesh axis to shard the BA pair work (matching + RANSAC +
+    # normal-equation build) over.  Empty = single-device BA.  Takes effect
+    # when a mesh carrying this axis is passed to Tracker(mesh=...) /
+    # make_fleet_step(mesh=...); the pair count K*(K-1)/2 must divide the
+    # axis size (120 pairs at the default K=16 → 2/4/8-way shards).
+    ba_mesh_axis: str = ""
 
 
 @_frozen

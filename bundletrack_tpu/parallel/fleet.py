@@ -59,10 +59,26 @@ def make_fleet_step(
     """Jitted multi-stream step: (state[S], obs[S], init_pose[S]) -> (state, out).
 
     With a mesh, every leading-stream axis is sharded over `stream_axis`;
-    without one, it is a plain vmapped step on the local device.
+    without one, it is a plain vmapped step on the local device.  When
+    cfg.bundle.ba_mesh_axis names another axis of the same mesh, each
+    stream's BA pair work additionally shards over that axis (streams x
+    pairs 2D parallelism): vmap(spmd_axis_name=stream_axis) threads the
+    stream axis through the inner pair shard_map so both axes stay sharded.
     """
-    single = make_track_frame(cfg, H, W, lfnet_apply)
-    batched = jax.vmap(single)
+    pair_axis = cfg.bundle.ba_mesh_axis or None
+    use_pairs = (
+        mesh is not None
+        and pair_axis is not None
+        and pair_axis in mesh.axis_names
+    )
+    if use_pairs:
+        single = make_track_frame(
+            cfg, H, W, lfnet_apply, mesh=mesh, pair_axis=pair_axis
+        )
+        batched = jax.vmap(single, spmd_axis_name=stream_axis)
+    else:
+        single = make_track_frame(cfg, H, W, lfnet_apply)
+        batched = jax.vmap(single)
 
     if mesh is None:
         return jax.jit(batched, donate_argnums=(0,))

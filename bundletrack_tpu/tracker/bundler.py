@@ -30,11 +30,7 @@ from bundletrack_tpu.matching.pairwise import match_pair, match_pairs_batched
 from bundletrack_tpu.ops.depth import process_depth
 from bundletrack_tpu.ops.masks import preprocess_mask
 from bundletrack_tpu.ops.pointcloud import depth_to_cloud_and_normals
-from bundletrack_tpu.ransac.ransac import (
-    ransac_multi_pair,
-    ransac_pair,
-    refine_pose_on_inliers,
-)
+from bundletrack_tpu.ransac.ransac import ransac_pair, refine_pose_on_inliers
 from bundletrack_tpu.solver.dense_p2p import (
     DenseFrames,
     compact_frame,
@@ -117,8 +113,25 @@ def _gather_match_points(ba_pts, ba_normals, pair_i, pair_j, matches):
     )
 
 
-def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
-    """Build the jittable per-frame step for images of size HxW."""
+def make_track_frame(
+    cfg: TrackerConfig,
+    H: int,
+    W: int,
+    lfnet_apply=None,
+    mesh=None,
+    pair_axis: Optional[str] = None,
+):
+    """Build the jittable per-frame step for images of size HxW.
+
+    mesh + pair_axis: shard the BA pair work (all-pairs matching, map-point
+    propagation, multi-pair RANSAC, normal-equation build) over
+    `mesh[pair_axis]` with shard_map — the within-stream scale axis of
+    SURVEY §2.6 (reference analog: one CUDA stream per pair,
+    src/cuda/cuda_ransac.cu:1267-1284).  Each device processes P/n pairs;
+    edge counts and the [K,K,6,6]+[K,6] normal-equation blocks psum over ICI
+    once per GN iteration, and the tiny replicated solve keeps all devices in
+    lockstep.  Results match the single-device step (same per-pair PRNG
+    streams — keys are split before sharding)."""
 
     K_BA = cfg.bundle.max_ba_frames
     n_pool_sel = K_BA - 1
@@ -130,6 +143,125 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
     PAIR_I = pair_i_np.astype(np.int32)
     PAIR_J = pair_j_np.astype(np.int32)
     M = cfg.shapes.max_matches
+    P_PAIRS = len(pair_i_np)
+
+    use_pair_shard = mesh is not None and pair_axis is not None
+    if use_pair_shard:
+        n_shard = mesh.shape[pair_axis]
+        if P_PAIRS % n_shard:
+            raise ValueError(
+                f"P={P_PAIRS} BA pairs (max_ba_frames={K_BA}) must divide "
+                f"mesh axis {pair_axis!r}={n_shard}"
+            )
+
+    def ba_pair_section(
+        ba_desc, ba_pts, ba_nrm, ba_kpv, ba_pose, ba_valid,
+        mappoints, pool_slot_of, dense_compact, K_low, fail,
+        pair_i, pair_j, keys,
+    ):
+        """Match -> propagate -> RANSAC -> gated solve over (a shard of) the
+        BA pair axis.  pair_i/pair_j/keys are sharded when under shard_map;
+        everything else is replicated."""
+        axis = pair_axis if use_pair_shard else None
+        fc = cfg.feature_corres
+        rc = cfg.ransac
+        new_idx = K_BA - 1
+
+        pair_valid = ba_valid[pair_i] & ba_valid[pair_j]
+        bm = match_pairs_batched(
+            ba_desc, ba_pts, ba_nrm, ba_kpv, ba_pose,
+            pair_i, pair_j, pair_valid,
+            max_dist=fc.max_dist_no_neighbor,
+            max_normal_deg=fc.max_normal_no_neighbor,
+            max_matches=M,
+            backend=fc.backend,
+        )
+        if cfg.feature_corres.map_points:
+            # seed BA pairs with landmark-propagated matches (reference
+            # findCorresByMapPoints, FeatureManager.cpp:489-520); RANSAC
+            # filters the union just like fresh matches
+            from bundletrack_tpu.matching.mappoints import propagate_matches
+            from bundletrack_tpu.matching.pairwise import merge_matches
+
+            si = pool_slot_of[pair_i]
+            sj = pool_slot_of[pair_j]
+            prop_ok = (si >= 0) & (sj >= 0) & pair_valid
+            prop = jax.vmap(
+                lambda a, b: propagate_matches(
+                    mappoints, jnp.maximum(a, 0), jnp.maximum(b, 0), M
+                )
+            )(si, sj)
+            prop = prop._replace(valid=prop.valid & prop_ok[:, None])
+            bm = merge_matches(bm, prop, ba_desc.shape[1], M)
+            bm = bm._replace(valid=bm.valid & pair_valid[:, None])
+
+        mpa, mpb, mna, mnb = _gather_match_points(
+            ba_pts, ba_nrm, pair_i, pair_j, bm
+        )
+        prior = se3_compose(se3_inverse(ba_pose[pair_j]), ba_pose[pair_i])
+        mr = jax.vmap(
+            lambda k, pa, pb, na, nb, mv, pr: ransac_pair(
+                k, pa, pb, na, nb, mv, pr,
+                num_trials=rc.max_iter,
+                inlier_dist=rc.inlier_dist,
+                inlier_normal_deg=rc.inlier_normal_angle,
+                max_trans=rc.max_trans_no_neighbor,
+                max_rot_deg=rc.max_rot_no_neighbor,
+                min_matches=rc.min_match_after_ransac,
+            )
+        )(keys, mpa, mpb, mna, mnb, bm.valid, prior)
+        edge_valid = bm.valid & mr.inliers
+        touches_new = (pair_i == new_idx) | (pair_j == new_idx)
+        n_edges_new = jnp.sum(edge_valid & touches_new[:, None])
+        if axis is not None:
+            n_edges_new = jax.lax.psum(n_edges_new, axis)
+        no_ba = n_edges_new <= cfg.bundle.min_fm_edges_newframe
+
+        corres = SparseCorres(
+            pair_i=pair_i, pair_j=pair_j,
+            pts_i=mpa, pts_j=mpb, valid=edge_valid,
+        )
+        free_mask = jnp.arange(K_BA) > 0  # anchor oldest selected frame
+
+        def run_ba(_):
+            inputs = GraphInputs(
+                poses=ba_pose,
+                frame_valid=ba_valid,
+                free_mask=free_mask,
+                corres=corres,
+                dense_compact=dense_compact,
+                K_lowres=K_low,
+            )
+            opt_poses, reject, _info = optimize_pose_graph_verified(
+                inputs, cfg.bundle, p2p=cfg.p2p, axis_name=axis
+            )
+            return opt_poses, reject
+
+        ba_out_poses, ba_rejected = jax.lax.cond(
+            no_ba | fail,
+            lambda _: (ba_pose, jnp.asarray(False)),
+            run_ba,
+            operand=None,
+        )
+        return (
+            ba_out_poses, ba_rejected, no_ba, n_edges_new,
+            bm.idx_a, bm.idx_b, edge_valid,
+        )
+
+    if use_pair_shard:
+        from jax.sharding import PartitionSpec as PS
+
+        rep = PS()
+        ps = PS(pair_axis)
+        ba_pair_call = jax.shard_map(
+            ba_pair_section,
+            mesh=mesh,
+            in_specs=(rep,) * 11 + (ps, ps, ps),
+            out_specs=(rep, rep, rep, rep, ps, ps, ps),
+            check_vma=False,
+        )
+    else:
+        ba_pair_call = ba_pair_section
 
     def step(
         state: TrackerState, obs: FrameObservation, init_pose: jnp.ndarray
@@ -246,83 +378,22 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
             ba_dlin = app(gat(state.kf_dlin), fd.lin)
             ba_tchan = app(gat(state.kf_tchan), fd.tchan)
 
-            pair_valid = ba_valid[PAIR_I] & ba_valid[PAIR_J]
-            bm = match_pairs_batched(
-                ba_desc, ba_pts, ba_nrm, ba_kpv, ba_pose,
-                PAIR_I, PAIR_J, pair_valid,
-                max_dist=fc.max_dist_no_neighbor,
-                max_normal_deg=fc.max_normal_no_neighbor,
-                max_matches=M,
-                backend=fc.backend,
-            )
-            if cfg.feature_corres.map_points:
-                # seed BA pairs with landmark-propagated matches (reference
-                # findCorresByMapPoints, FeatureManager.cpp:489-520); RANSAC
-                # filters the union just like fresh matches
-                from bundletrack_tpu.matching.mappoints import propagate_matches
-                from bundletrack_tpu.matching.pairwise import merge_matches
-
-                pool_slot_of = jnp.concatenate(
-                    [slots, jnp.full((1,), -1, jnp.int32)]
-                )  # BA position -> pool slot (-1 for the new frame)
-                si = pool_slot_of[PAIR_I]
-                sj = pool_slot_of[PAIR_J]
-                prop_ok = (si >= 0) & (sj >= 0) & pair_valid
-                prop = jax.vmap(
-                    lambda a, b: propagate_matches(
-                        state.mappoints, jnp.maximum(a, 0), jnp.maximum(b, 0), M
-                    )
-                )(si, sj)
-                prop = prop._replace(valid=prop.valid & prop_ok[:, None])
-                bm = merge_matches(bm, prop, ba_desc.shape[1], M)
-                bm = bm._replace(valid=bm.valid & pair_valid[:, None])
-
-            mpa, mpb, mna, mnb = _gather_match_points(
-                ba_pts, ba_nrm, PAIR_I, PAIR_J, bm
-            )
-            prior = se3_compose(se3_inverse(ba_pose[PAIR_J]), ba_pose[PAIR_I])
-            mr = ransac_multi_pair(
-                k_multi, mpa, mpb, mna, mnb, bm.valid, prior,
-                num_trials=rc.max_iter,
-                inlier_dist=rc.inlier_dist,
-                inlier_normal_deg=rc.inlier_normal_angle,
-                max_trans=rc.max_trans_no_neighbor,
-                max_rot_deg=rc.max_rot_no_neighbor,
-                min_matches=rc.min_match_after_ransac,
-            )
-            edge_valid = bm.valid & mr.inliers
-            new_idx = K_BA - 1
-            touches_new = (PAIR_I == new_idx) | (PAIR_J == new_idx)
-            n_edges_new = jnp.sum(edge_valid & touches_new[:, None])
-            no_ba = n_edges_new <= cfg.bundle.min_fm_edges_newframe
-
-            corres = SparseCorres(
-                pair_i=PAIR_I, pair_j=PAIR_J,
-                pts_i=mpa, pts_j=mpb, valid=edge_valid,
-            )
             dense_compact = stack_frame_dense(ba_dsrc, ba_dvalid, ba_dlin, ba_tchan)
-            free_mask = jnp.arange(K_BA) > 0  # anchor oldest selected frame
-
-            def run_ba(_):
-                inputs = GraphInputs(
-                    poses=ba_pose,
-                    frame_valid=ba_valid,
-                    free_mask=free_mask,
-                    corres=corres,
-                    dense_compact=dense_compact,
-                    K_lowres=K_low,
-                )
-                opt_poses, reject, _info = optimize_pose_graph_verified(
-                    inputs, cfg.bundle, p2p=cfg.p2p
-                )
-                return opt_poses, reject
-
-            ba_out_poses, ba_rejected = jax.lax.cond(
-                no_ba | fail,
-                lambda _: (ba_pose, jnp.asarray(False)),
-                run_ba,
-                operand=None,
+            pool_slot_of = jnp.concatenate(
+                [slots, jnp.full((1,), -1, jnp.int32)]
+            )  # BA position -> pool slot (-1 for the new frame)
+            # per-pair PRNG streams split BEFORE any sharding, so the pair-
+            # sharded path reproduces the single-device ransac_multi_pair
+            ransac_keys = jax.random.split(k_multi, P_PAIRS)
+            (
+                ba_out_poses, ba_rejected, no_ba, n_edges_new,
+                bm_idx_a, bm_idx_b, edge_valid,
+            ) = ba_pair_call(
+                ba_desc, ba_pts, ba_nrm, ba_kpv, ba_pose, ba_valid,
+                state.mappoints, pool_slot_of, dense_compact, K_low, fail,
+                jnp.asarray(PAIR_I), jnp.asarray(PAIR_J), ransac_keys,
             )
+            new_idx = K_BA - 1
             no_ba = no_ba | ba_rejected  # rejected solve keeps procrustes pose
             pose_final = jnp.where(fail, state.prev_pose, ba_out_poses[new_idx])
 
@@ -367,8 +438,8 @@ def make_track_frame(cfg: TrackerConfig, H: int, W: int, lfnet_apply=None):
                     pool_pos = pair_i_np[p_idx]  # BA position of the pool frame
                     pool_slot = slots[pool_pos]
                     m = _MR(
-                        idx_a=bm.idx_a[p_idx],
-                        idx_b=bm.idx_b[p_idx],
+                        idx_a=bm_idx_a[p_idx],
+                        idx_b=bm_idx_b[p_idx],
                         valid=edge_valid[p_idx] & sel_valid[pool_pos],
                     )
                     mp = update_mappoints(mp, pool_slot, new_slot, m)

@@ -31,18 +31,39 @@ from bundletrack_tpu.tracker.state import (
 _STEP_CACHE: dict = {}
 
 
-def _cached_step(cfg: TrackerConfig, H: int, W: int, lfnet_apply, donate: bool):
-    key = (cfg, H, W, id(lfnet_apply) if lfnet_apply is not None else None, donate)
+def _cached_step(
+    cfg: TrackerConfig, H: int, W: int, lfnet_apply, donate: bool, mesh=None
+):
+    key = (
+        cfg, H, W, id(lfnet_apply) if lfnet_apply is not None else None,
+        donate, mesh,
+    )
     step = _STEP_CACHE.get(key)
     if step is None:
-        fn = make_track_frame(cfg, H, W, lfnet_apply)
+        pair_axis = cfg.bundle.ba_mesh_axis or None
+        if mesh is not None and pair_axis is not None:
+            if pair_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"bundle.ba_mesh_axis={pair_axis!r} not in mesh axes "
+                    f"{mesh.axis_names}"
+                )
+            fn = make_track_frame(
+                cfg, H, W, lfnet_apply, mesh=mesh, pair_axis=pair_axis
+            )
+        else:
+            fn = make_track_frame(cfg, H, W, lfnet_apply)
         step = jax.jit(fn, donate_argnums=(0,) if donate else ())
         _STEP_CACHE[key] = step
     return step
 
 
 class Tracker:
-    """Single-stream tracker with the reference's per-frame API."""
+    """Single-stream tracker with the reference's per-frame API.
+
+    mesh: optional jax.sharding.Mesh; combined with
+    cfg.bundle.ba_mesh_axis it routes the BA inner loop through the
+    pair-sharded path (within-stream multi-chip parallelism — the pair work
+    divides across `mesh[ba_mesh_axis]` and JᵀJ/Jᵀr psum over ICI)."""
 
     def __init__(
         self,
@@ -52,11 +73,12 @@ class Tracker:
         lfnet_apply=None,
         seed: int = 0,
         donate: bool = True,
+        mesh=None,
     ):
         self.cfg = cfg
         self.H, self.W = H, W
         # donate the state buffers: the pool stays device-resident, zero-copy
-        self._step = _cached_step(cfg, H, W, lfnet_apply, donate)
+        self._step = _cached_step(cfg, H, W, lfnet_apply, donate, mesh)
         self.state: TrackerState = init_tracker_state(cfg, H, W, seed)
         self.outputs = []
 

@@ -206,3 +206,99 @@ class TestPairShardedBA:
                 jnp.asarray(pi[:119]), jnp.asarray(pj[:119]),
                 jnp.ones((119,), bool), jax.random.PRNGKey(0),
             )
+
+
+class TestTrackerPairSharded:
+    """The PRODUCT path: bundle.ba_mesh_axis + Tracker(mesh=...) routes the
+    in-tracker BA through the pair-sharded section (VERDICT r4 task 5)."""
+
+    def _setup(self):
+        from bundletrack_tpu.config import FrontendConfig
+        from bundletrack_tpu.data import render_synthetic_sequence
+
+        H, W = 96, 128
+        cfg = TrackerConfig(
+            bundle=BundleConfig(dense_src_capacity=256),
+            frontend=FrontendConfig(top_k=64),
+            ransac=RansacConfig(max_iter=128),
+            shapes=ShapeConfig(max_matches=64, image_h=H, image_w=W),
+        )
+        seq = render_synthetic_sequence(
+            num_frames=6, H=H, W=W, orbit_deg_per_frame=3.0
+        )
+        return cfg, seq, H, W
+
+    def _track(self, cfg, seq, H, W, mesh=None):
+        from bundletrack_tpu.tracker.driver import Tracker
+
+        tracker = Tracker(cfg, H, W, mesh=mesh, donate=False)
+        init = np.linalg.inv(seq.ob_in_cam[0])
+        poses, statuses = [], []
+        for f in range(seq.gray.shape[0]):
+            out = tracker.process_frame(
+                seq.gray[f], seq.depth[f], seq.mask[f], seq.K, init_pose=init
+            )
+            poses.append(np.asarray(out.ob_in_cam))
+            statuses.append(int(out.status))
+        return np.stack(poses), statuses
+
+    def test_tracker_parity_sharded_vs_single(self):
+        """6 tracked frames: pairs-over-8-devices == unsharded, same PRNG."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg, seq, H, W = self._setup()
+        p_ref, s_ref = self._track(cfg, seq, H, W, mesh=None)
+
+        import dataclasses
+
+        mesh = make_mesh({"pairs": 8})
+        cfg_sh = cfg.replace(
+            bundle=dataclasses.replace(cfg.bundle, ba_mesh_axis="pairs")
+        )
+        p_sh, s_sh = self._track(cfg_sh, seq, H, W, mesh=mesh)
+        assert s_sh == s_ref
+        np.testing.assert_allclose(p_sh, p_ref, atol=1e-3)
+
+    def test_bad_axis_rejected(self):
+        import dataclasses
+
+        from bundletrack_tpu.tracker.driver import Tracker
+
+        cfg, seq, H, W = self._setup()
+        cfg = cfg.replace(
+            bundle=dataclasses.replace(cfg.bundle, ba_mesh_axis="nonexistent")
+        )
+        mesh = make_mesh({"pairs": min(8, jax.device_count())})
+        with pytest.raises(ValueError, match="not in mesh axes"):
+            Tracker(cfg, H, W, mesh=mesh, donate=False)
+
+    def test_fleet_plus_pair_sharded(self):
+        """2D mesh: streams x pairs — both axes sharded in one fleet step."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        import dataclasses
+
+        from bundletrack_tpu.parallel import init_fleet_state, make_fleet_step
+        from bundletrack_tpu.tracker.state import FrameObservation
+
+        cfg, seq, H, W = self._setup()
+        cfg = cfg.replace(
+            bundle=dataclasses.replace(cfg.bundle, ba_mesh_axis="pairs")
+        )
+        mesh = make_mesh({"stream": 2, "pairs": 4})
+        S = 2
+        step = make_fleet_step(cfg, H, W, mesh=mesh)
+        state = init_fleet_state(cfg, H, W, S)
+        tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (S,) + a.shape)
+        init = tile(np.linalg.inv(seq.ob_in_cam[0]))
+        statuses = []
+        for f in range(3):
+            obs = FrameObservation(
+                gray=tile(seq.gray[f]), depth=tile(seq.depth[f]),
+                mask=tile(seq.mask[f]), K=tile(seq.K),
+            )
+            state, out = step(state, obs, init)
+            statuses.append(np.asarray(out.status).tolist())
+        assert np.all(np.isfinite(np.asarray(out.ob_in_cam)))
+        # frame 0 initializes; subsequent frames must track OK
+        assert statuses[1] == [0, 0] and statuses[2] == [0, 0]
