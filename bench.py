@@ -235,29 +235,160 @@ def _bench_fleet_table(seq240):
     return table
 
 
-def _fleet_analysis(table, classical_fps):
-    """One-paragraph bottleneck explanation for the scaling curve."""
+def _bench_stage_profiles(lf_cfg=None, lfnet_apply=None):
+    """Measured per-stage ms tables (VERDICT r4 tasks 3 + 8): full-res
+    single-stream for both frontends, and 240x320 at S=1/16 (the fleet
+    table's operating points) with the raw host->device transfer cost."""
+    from benchmarks.profile_stages import profile_stages
+
+    out = {}
+    out["s1_480x640_classical"] = profile_stages(
+        H=480, W=640, S=1, reps=5, measure_h2d=True, verbose=False
+    )
+    if lfnet_apply is not None:
+        out["s1_480x640_lfnet"] = profile_stages(
+            H=480, W=640, S=1, reps=5, cfg=lf_cfg, lfnet_apply=lfnet_apply,
+            verbose=False,
+        )
+    for S in (1, 16):
+        out[f"s{S}_240x320"] = profile_stages(
+            H=240, W=320, S=S, reps=5, measure_h2d=True,
+            include_full_step=False, verbose=False,
+        )
+    for k, v in out.items():
+        print(f"[bench] stage profile {k}: {v}", file=sys.stderr)
+    return out
+
+
+def _fleet_analysis(table, profiles):
+    """Scaling analysis derived from the measured tables only (advisor r4:
+    no hardcoded empirical claims)."""
     s1 = table.get("s1", 0.0)
     smax_key = max(table, key=lambda k: table[k])
     gain = table[smax_key] / max(s1, 1e-6)
-    return (
+    lines = [
         f"Stream batching at 240x320 peaks at {table[smax_key]} aggregate "
-        f"fps ({smax_key}) vs {s1} at S=1 — a {gain:.2f}x utilization gain, "
-        "with two ceilings. (1) Compute: the per-frame step is dominated by "
-        "chip-wide ops that already fill the v5e at S=1 — the BA matcher "
-        "contracts [120,512,512] distance matrices on the MXU (~16 GFLOP/"
-        "frame bf16), multi-pair RANSAC evaluates 120x2000 trials x 256 "
-        "matches, and the dense term gathers 16x2048 projective "
-        "associations per GN iteration — so extra streams mostly fill "
-        "scheduling bubbles between stages. (2) Host->device bandwidth: "
-        "every stream ships ~0.25 MB of raw sensor data per frame over the "
-        "single-chip tunnel, which caps and then bends the curve back down "
-        "at the largest S (observed s32 < s16). Both ceilings argue the "
-        "same design: throughput scales with streams ACROSS chips (each "
-        "stream's transfers and compute land on its own chip; zero "
+        f"fps ({smax_key}) vs {s1} at S=1 — a {gain:.2f}x utilization gain."
+    ]
+    p16 = profiles.get("s16_240x320", {})
+    p1 = profiles.get("s1_240x320", {})
+    stages16 = {k: v for k, v in p16.items() if not k.startswith("h2d")}
+    if stages16:
+        dom = max(stages16, key=lambda k: stages16[k])
+        per_stream = stages16[dom] / 16.0
+        lines.append(
+            f"At S=16 the heaviest stage is {dom} at {stages16[dom]} ms per "
+            f"step ({per_stream:.2f} ms/stream vs "
+            f"{p1.get(dom, float('nan'))} ms at S=1 — stage table in "
+            "stage_profile), i.e. batching amortizes per-dispatch overhead "
+            "and fills the chip between stages."
+        )
+    h2d_ms = p16.get("h2d_ms")
+    bpf = p16.get("h2d_bytes_per_frame")
+    if h2d_ms is not None and bpf is not None:
+        lines.append(
+            f"Host->device input transfer measures {h2d_ms} ms for a 16-"
+            f"stream observation batch ({bpf / 1e6:.2f} MB/frame raw sensor "
+            "data) on the single-chip tunnel — a fixed per-dispatch latency "
+            "cost that batching shares across streams."
+        )
+    s16, s32 = table.get("s16"), table.get("s32")
+    if s16 is not None and s32 is not None:
+        if s32 < s16:
+            step_ms_32 = 32.0 / s32 * 1000.0
+            xfer_ms_32 = (h2d_ms or 0.0) * 2.0  # 2x the measured 16-stream batch
+            lines.append(
+                f"s32 ({s32} fps) regresses below s16 ({s16} fps): a 32-"
+                f"stream step is {step_ms_32:.0f} ms of which ~"
+                f"{xfer_ms_32:.0f} ms is input transfer (scaling the "
+                "measured 16-stream cost), and the larger working set "
+                "spills the on-chip overlap the 16-stream point enjoys."
+            )
+        else:
+            lines.append(
+                f"s32 ({s32} fps) still exceeds s16 ({s16} fps); no "
+                "bend-back at this size."
+            )
+    lines.append(
+        "Design consequence: throughput scales with streams ACROSS chips "
+        "(each stream's transfers and compute land on its own chip; zero "
         "cross-chip collectives), while within-stream latency scales via "
-        "the pair-sharded BA (parallel/pair_sharded.py)."
+        "the pair-sharded BA (bundle.ba_mesh_axis, parallel/pair_sharded.py)."
     )
+    return " ".join(lines)
+
+
+def _bench_long_horizon(cfg, lf_cfg=None, lfnet_apply=None, num_frames=128):
+    """Long-horizon hostile passes (VERDICT r4 task 1): >=128-frame orbit /
+    occluder-sweep / scale2x tracked by both frontends, plus the orbit pass
+    re-tracked with ONLINE VOS-generated masks."""
+    from bundletrack_tpu.data.hard_world import long_hard_passes
+    from bundletrack_tpu.eval.hard_suite import run_long_suite
+
+    t0 = time.perf_counter()
+    passes = long_hard_passes(H=480, W=640, num_frames=num_frames)
+    print(f"[bench] long passes rendered in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+    vos_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "checkpoints", "vos_params.npz")
+    if not os.path.exists(vos_ckpt):
+        vos_ckpt = None
+    out = {}
+    if lfnet_apply is not None:
+        out["lfnet"] = run_long_suite(
+            lf_cfg, lfnet_apply=lfnet_apply, passes=passes, vos_ckpt=vos_ckpt
+        )
+        print(f"[bench] long suite lfnet: {out['lfnet']}", file=sys.stderr)
+        vos_ckpt = None  # VOS-in-the-loop measured once, on the lfnet path
+    out["classical"] = run_long_suite(cfg, passes=passes, vos_ckpt=vos_ckpt)
+    print(f"[bench] long suite classical: {out['classical']}", file=sys.stderr)
+    return out
+
+
+def _bench_nocs(num_frames=48):
+    """NOCS protocol over a hard-world pass (VERDICT r4 task 7): track with
+    the NOCS preset, inject the reference's +-0.02 m init-pose noise and
+    re-anchor, then score 5deg5cm / IoU-25 (reference eval_nocs.py:63-116,
+    benchmark.py:296-320)."""
+    import jax.numpy as jnp  # noqa: F401  (keeps import ordering consistent)
+
+    from bundletrack_tpu.config import BundleConfig, ShapeConfig, nocs_config
+    from bundletrack_tpu.data.hard_world import model_points, render_hard_sequence
+    from bundletrack_tpu.eval.nocs_protocol import (
+        evaluate_nocs,
+        perturb_init_pose,
+        reanchor_trajectory,
+    )
+    from bundletrack_tpu.tracker.driver import track_sequence
+
+    H, W = 480, 640
+    seq = render_hard_sequence(
+        "cube", num_frames=num_frames, H=H, W=W, seed=29,
+        orbit_deg_per_frame=3.0,
+    )
+    cfg = nocs_config(
+        shapes=ShapeConfig(image_h=H, image_w=W),
+        bundle=BundleConfig(
+            min_fm_edges_newframe=10, dense_src_capacity=2048,
+            early_stop_delta=0.005,
+        ),
+    )
+    poses, statuses, _ = track_sequence(cfg, seq)
+    pts = model_points("cube", size=0.2)
+    lo, hi = pts.min(0), pts.max(0)
+    corners = np.array(
+        [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+         for z in (lo[2], hi[2])], np.float32,
+    ).T  # [3, 8]
+    rng = np.random.RandomState(0)
+    noisy_init = perturb_init_pose(seq.ob_in_cam[0], rng=rng)
+    preds = reanchor_trajectory(list(poses), noisy_init)
+    res = evaluate_nocs(preds, list(seq.ob_in_cam), corners, "laptop")
+    res["n_fail"] = int(np.sum(np.asarray(statuses) == 1))
+    res = {k: (round(v, 2) if isinstance(v, float) else v) for k, v in res.items()}
+    print(f"[bench] nocs protocol (48-frame hard cube, noisy init): {res}",
+          file=sys.stderr)
+    return res
 
 
 def _bench_vos():
@@ -451,10 +582,9 @@ def main():
 
     extra["solver_solves_per_s"] = round(_bench_solver(cfg), 1)
     extra["matcher"] = _bench_matcher()
-    extra["hard_suite"] = _bench_hard_suite(cfg, lfnet_apply, lf_cfg)
-    if "lfnet" in extra["hard_suite"]:
-        extra["hard_adds_auc"] = extra["hard_suite"]["lfnet"]["mean"]
-    extra["hard_adds_auc_classical"] = extra["hard_suite"]["classical"]["mean"]
+    extra["hard_suite_16f"] = _bench_hard_suite(cfg, lfnet_apply, lf_cfg)
+    extra["long_horizon_128f"] = _bench_long_horizon(cfg, lf_cfg, lfnet_apply)
+    extra["nocs"] = _bench_nocs()
     for S in (4, 8):
         extra[f"fleet_fps_s{S}"] = round(_bench_fleet(cfg, seq, S), 2)
     # chip utilization gain from stream batching (one chip; cross-chip
@@ -466,8 +596,9 @@ def main():
     seq240 = render_synthetic_sequence(num_frames=10, H=240, W=320,
                                        orbit_deg_per_frame=2.0)
     extra["fleet_table_240x320"] = _bench_fleet_table(seq240)
+    extra["stage_profile"] = _bench_stage_profiles(lf_cfg, lfnet_apply)
     extra["fleet_analysis"] = _fleet_analysis(
-        extra["fleet_table_240x320"], extra["classical_fps"]
+        extra["fleet_table_240x320"], extra["stage_profile"]
     )
     vos = _bench_vos()
     if vos:
@@ -479,13 +610,51 @@ def main():
         metric, value = "single_stream_tracking_rate_480x640_lfnet", extra["lfnet_fps"]
     else:
         metric, value = "single_stream_tracking_rate_480x640", extra["classical_fps"]
-    print(json.dumps({
+    headline = {
         "metric": metric,
         "value": value,
         "unit": "frames/s",
         "vs_baseline": round(value / 10.0, 3),
-        "extra": extra,
-    }))
+    }
+
+    # Loss-proof artifact (VERDICT r4 task 2): the FULL result goes to a
+    # committed file; stdout gets ONLY a compact headline line so the
+    # driver's tail capture can never truncate away the round's numbers
+    # (r4's single giant JSON line lost the headline fields).
+    full = dict(headline)
+    full["extra"] = extra
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full_r05.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(f"[bench] full results written to {full_path}", file=sys.stderr)
+
+    def g(d, *ks):
+        for k in ks:
+            d = d.get(k, {}) if isinstance(d, dict) else {}
+        return d if not isinstance(d, dict) or d else None
+
+    lh = extra["long_horizon_128f"]
+    compact = {
+        "classical_fps": extra["classical_fps"],
+        "classical_adds_auc": extra["classical_adds_auc"],
+        "lfnet_fps": extra.get("lfnet_fps"),
+        "lfnet_adds_auc": extra.get("lfnet_adds_auc"),
+        "lfnet_forward_ms": extra.get("lfnet_forward_ms"),
+        "solver_solves_per_s": extra["solver_solves_per_s"],
+        "hard16_mean_lfnet": g(extra, "hard_suite_16f", "lfnet", "mean"),
+        "hard16_mean_classical": g(extra, "hard_suite_16f", "classical", "mean"),
+        "long128_mean_lfnet": g(lh, "lfnet", "mean_adds_auc"),
+        "long128_mean_classical": g(lh, "classical", "mean_adds_auc"),
+        "long128_vosmask_auc": g(lh, "lfnet", "passes", "orbit_vosmask",
+                                 "adds_auc"),
+        "nocs_5deg5cm": extra["nocs"].get("5deg5cm"),
+        "nocs_iou25": extra["nocs"].get("IoU25"),
+        "fleet_peak_fps_240": max(extra["fleet_table_240x320"].values()),
+        "vos_hard110_iou": g(extra, "vos", "hard110", "mean_iou"),
+        "full_results": "BENCH_full_r05.json",
+    }
+    print(json.dumps({**headline, "extra": compact}))
 
 
 if __name__ == "__main__":

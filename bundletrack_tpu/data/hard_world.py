@@ -493,3 +493,33 @@ def hard_passes(H: int = 480, W: int = 640, num_frames: int = 32, seed: int = 0)
             "lshape", num_frames, H, W, seed=seed + 4,
             orbit_deg_per_frame=8.0, roll_deg_per_frame=3.0),
     }
+
+
+def long_hard_passes(
+    H: int = 480, W: int = 640, num_frames: int = 128, seed: int = 0
+):
+    """Long-horizon hostile passes (VERDICT r4 task 1): >=128-frame runs that
+    stress keyframe eviction, drift accumulation, and re-acquisition — the
+    regimes 16-frame passes cannot reach.  The reference's validation is
+    1,000+-frame real sequences (scripts/eval_ycbineoat.py:105-164); these
+    are the synthetic stand-ins at matching horizon character.
+
+    orbit:    full 360+ degree orbit of the non-convex L-shape with all
+              degradations — every face enters and leaves view, exercising
+              keyframe-pool admission/eviction and map-point lifetime.
+    occluder: textured distractor sweeps between camera and target ~5 times
+              — repeated partial occlusions force FAIL/recovery cycles.
+    scale2x:  camera recedes to 2x range over the full run — the appearance
+              scale halves while the pool still holds near-field keyframes.
+    """
+    return {
+        "orbit": render_hard_sequence(
+            "lshape", num_frames, H, W, seed=seed + 11,
+            orbit_deg_per_frame=3.0),
+        "occluder": render_hard_sequence(
+            "cube", num_frames, H, W, seed=seed + 12,
+            orbit_deg_per_frame=2.0, occluder=True),
+        "scale2x": render_hard_sequence(
+            "lshape", num_frames, H, W, seed=seed + 13,
+            radius=0.45, scale_to=2.0, orbit_deg_per_frame=2.0),
+    }

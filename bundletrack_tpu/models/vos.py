@@ -165,25 +165,50 @@ def select_references(state: VOSState, ref_num: int, dense_num: int, range_: int
 
 
 class VOSPropagator:
-    """Host-facing online mask propagator (reference run_video.py flow)."""
+    """Host-facing online mask propagator (reference run_video.py flow).
+
+    Each frame is ONE jitted call (extract + attention + ring-buffer push +
+    mask upsample fused): the previous eager chain dispatched ~10 small ops
+    per frame over the device tunnel at ~30 ms each (~6 s/frame measured on
+    the axon runtime); fused, a frame is a single dispatch."""
 
     def __init__(self, params, model: VOSNet, cfg, H: int, W: int, num_labels: int = 2,
                  history_cap: int = 48):
         self.model = model
         self.params = params
         self.cfg = cfg
+        self.H, self.W = H, W
         self.h, self.w = H // cfg.downscale, W // cfg.downscale
         self.num_labels = num_labels
         self.w1 = spatial_weight(self.h, self.w, cfg.sigma1)
         self.w2 = spatial_weight(self.h, self.w, cfg.sigma2)
         self.state = init_vos_state(history_cap, self.h, self.w, model.out_dim, num_labels)
-        self._extract = jax.jit(
-            lambda p, img: self.model.apply({"params": p}, img[None])[0]
-        )
-        self._propagate = jax.jit(self._propagate_impl)
+        self._first = jax.jit(self._first_impl)
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     def _resize_feat(self, feat):
         return jax.image.resize(feat, (self.h, self.w, feat.shape[-1]), "bilinear")
+
+    def _extract_feat(self, img):
+        return self._resize_feat(
+            self.model.apply({"params": self.params}, img[None])[0]
+        )
+
+    def _first_impl(self, state, img, mask):
+        feat = self._extract_feat(img)
+        lab = jax.image.resize(
+            jax.nn.one_hot(mask.astype(jnp.int32), self.num_labels),
+            (self.h, self.w, self.num_labels),
+            "nearest",
+        )
+        return vos_push(state, feat, lab, 0), feat, lab
+
+    def _step_impl(self, state, img, anchor_feat, anchor_label):
+        feat = self._extract_feat(img)
+        soft = self._propagate_impl(state, feat, anchor_feat, anchor_label)
+        new_state = vos_push(state, feat, soft, state.count)
+        up = jax.image.resize(soft, (self.H, self.W, self.num_labels), "bilinear")
+        return new_state, jnp.argmax(up, axis=-1) > 0
 
     def _propagate_impl(self, state, feat, anchor_feat, anchor_label):
         slots, valid, is_recent = select_references(
@@ -210,26 +235,15 @@ class VOSPropagator:
         return soft
 
     def first_frame(self, rgb: np.ndarray, mask: np.ndarray):
-        feat = self._resize_feat(self._extract(self.params, jnp.asarray(rgb)))
-        lab = jax.image.resize(
-            jax.nn.one_hot(jnp.asarray(mask).astype(jnp.int32), self.num_labels),
-            (self.h, self.w, self.num_labels),
-            "nearest",
+        self.state, self._anchor_feat, self._anchor_label = self._first(
+            self.state, jnp.asarray(rgb), jnp.asarray(mask)
         )
-        self._anchor_feat = feat
-        self._anchor_label = lab
-        self.state = vos_push(self.state, feat, lab, 0)
 
     def propagate(self, rgb: np.ndarray) -> np.ndarray:
-        feat = self._resize_feat(self._extract(self.params, jnp.asarray(rgb)))
-        soft = self._propagate(
-            self.state, feat, self._anchor_feat, self._anchor_label
+        self.state, mask = self._step(
+            self.state, jnp.asarray(rgb), self._anchor_feat, self._anchor_label
         )
-        self.state = vos_push(self.state, feat, soft, int(self.state.count))
-        H = self.h * self.cfg.downscale
-        W = self.w * self.cfg.downscale
-        up = jax.image.resize(soft, (H, W, self.num_labels), "bilinear")
-        return np.asarray(jnp.argmax(up, axis=-1) > 0)
+        return np.asarray(mask)
 
 
 def load_vos_npz(path: str):
