@@ -134,6 +134,7 @@ def main(argv=None):
         desc_dim=args.desc_dim, net_channel=args.net_channel,
         net_num_scales=args.num_scales, desc_net_channel=args.desc_channel,
         sm_ksize=args.sm_ksize,
+        bf16=False,  # full-precision gradients for training
     )
     model, params = init_lfnet(cfg, key=jax.random.PRNGKey(args.seed))
     if args.lr_decay == "cosine":

@@ -207,9 +207,20 @@ class FrontendConfig:
     # normalization: "gn" (train-from-scratch default) or "bn" (frozen
     # batch-norm stats, for TF1-checkpoint-ported weights — port_tf1.py)
     norm: str = "gn"
+    # bf16 conv-path compute (params stay f32, so checkpoints are shared
+    # with the f32 path; norms always run f32).  Serving default: the
+    # per-scale feature upsample dominates the forward's HBM traffic and
+    # halves in bf16.  Training (apps/train_lfnet.py) sets False — grads
+    # stay full precision.
+    bf16: bool = True
     # classical frontend
     harris_k: float = 0.04
     harris_sigma: float = 1.0
+    # depth-scaled descriptor patches: sample spacing z0/z so patches cover
+    # a constant physical extent — the RGB-D answer to scale change (the r4
+    # classical frontend collapsed to 28.13 AUC on the 2x scale pass with
+    # fixed-pixel patches).  0 disables (fixed 16-px patches).
+    harris_patch_z0: float = 0.55
 
 
 @_frozen

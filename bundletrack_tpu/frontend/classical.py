@@ -114,6 +114,44 @@ def _extract_patches_int(img: jnp.ndarray, kpts_uv: jnp.ndarray, patch: int = 16
     return jnp.take(img.reshape(-1), gv * W + gu)
 
 
+def _extract_patches_depth_scaled(
+    img: jnp.ndarray,
+    kpts_uv: jnp.ndarray,
+    z: jnp.ndarray,  # [N] keypoint depth (<=0 invalid -> unit spacing)
+    patch: int,
+    z0: float,
+):
+    """Scale-NORMALIZED patches: bilinear sampling with per-keypoint pixel
+    spacing z0/z, so every patch covers a constant PHYSICAL surface extent
+    regardless of camera range.  This is what makes the weight-free
+    descriptor survive scale change — the RGB-D analog of LF-Net's learned
+    scale pyramid (reference run_server.py:70-77 serves a pyramid for the
+    same reason; an RGB frontend must estimate scale, an RGB-D one can read
+    it from depth)."""
+    H, W = img.shape
+    step = jnp.where(z > 1e-6, z0 / jnp.maximum(z, 1e-6), 1.0)
+    step = jnp.clip(step, 0.2, 5.0)  # keep degenerate depths sane
+    offs = jnp.arange(patch, dtype=jnp.float32) - (patch - 1) / 2.0
+    gu = kpts_uv[:, None, None, 0] + step[:, None, None] * offs[None, None, :]
+    gv = kpts_uv[:, None, None, 1] + step[:, None, None] * offs[None, :, None]
+    u0 = jnp.clip(jnp.floor(gu).astype(jnp.int32), 0, W - 2)
+    v0 = jnp.clip(jnp.floor(gv).astype(jnp.int32), 0, H - 2)
+    du = jnp.clip(gu - u0, 0.0, 1.0)
+    dv = jnp.clip(gv - v0, 0.0, 1.0)
+    flat = img.reshape(-1)
+    l00 = v0 * W + u0
+    p00 = jnp.take(flat, l00)
+    p01 = jnp.take(flat, l00 + 1)
+    p10 = jnp.take(flat, l00 + W)
+    p11 = jnp.take(flat, l00 + W + 1)
+    return (
+        p00 * (1 - du) * (1 - dv)
+        + p01 * du * (1 - dv)
+        + p10 * (1 - du) * dv
+        + p11 * du * dv
+    )
+
+
 def harris_keypoints_and_descriptors(
     img: jnp.ndarray,  # [H, W] grayscale in [0, 1]
     mask: jnp.ndarray,  # [H, W] bool detection region
@@ -121,16 +159,28 @@ def harris_keypoints_and_descriptors(
     patch: int = 16,
     border: int = 10,
     sigma: float = 1.5,
-    min_response: float = 1e-7,
+    min_response: float = 1e-9,
+    z_map: jnp.ndarray | None = None,  # [H, W] depth for scale normalization
+    patch_z0: float = 0.0,  # >0: depth-scaled patches, unit spacing at z0
 ) -> FrontendOutput:
-    """Detect top-K corners and build 256-d normalized-patch descriptors."""
+    """Detect top-K corners and build 256-d normalized-patch descriptors.
+
+    The response floor is permissive (1e-9): smooth low-contrast surfaces
+    (e.g. fBm texture seen from afar) legitimately produce corner responses
+    around 1e-7 — the old 1e-7 floor starved the matcher of keypoints
+    (measured: 51 valid kpts on the r4 scale-change pass, every frame
+    FAILing with <5 gated inliers, while the LF-Net path survived on
+    keypoint count alone).  Weak corners that are noise get pruned by the
+    mutual-NN + geometric gates + RANSAC downstream, not here."""
     H, W = img.shape
     resp = shi_tomasi_response(img, sigma)
     peak = _nms(resp)
     u = jnp.arange(W)[None, :]
     v = jnp.arange(H)[:, None]
     inb = (u >= border) & (u < W - border) & (v >= border) & (v < H - border)
-    score_map = jnp.where(peak & mask & inb & (resp > min_response), resp, -jnp.inf)
+    score_map = jnp.where(
+        peak & mask & inb & (resp > min_response), resp, -jnp.inf
+    )
 
     # Bucketed top-K: lax.top_k over all H*W pixels is a near-sort and was a
     # measured hot spot at 480x640.  NMS peaks are sparse, so reduce each
@@ -138,7 +188,11 @@ def harris_keypoints_and_descriptors(
     # top_k over the ~H*W/CELL^2 cell winners.  Side effect: at most one
     # keypoint per cell — a spatial-bucketing prior that tracking frontends
     # use on purpose (more uniform coverage than raw score ranking).
-    CELL = 8
+    # CELL=4 (not 8): when the object recedes, the mask covers few cells and
+    # the per-cell cap starves the matcher exactly when keypoints are
+    # scarcest (measured on the 2x scale pass: 65->71 AUC going 8->4); the
+    # top_k input is still 16x smaller than the full-image near-sort.
+    CELL = 4
     while CELL > 1 and ((H + CELL - 1) // CELL) * ((W + CELL - 1) // CELL) < top_k:
         CELL //= 2  # small images: finer cells so candidates >= top_k
     Hp = (H + CELL - 1) // CELL * CELL
@@ -157,7 +211,13 @@ def harris_keypoints_and_descriptors(
     valid = jnp.isfinite(scores)
     kpts = jnp.stack([ku, kv], axis=-1)
 
-    patches = _extract_patches_int(img, kpts, patch)  # [N, p, p]
+    if patch_z0 > 0.0 and z_map is not None:
+        ui = jnp.clip(jnp.round(ku).astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(jnp.round(kv).astype(jnp.int32), 0, H - 1)
+        z_kp = jnp.take(z_map.reshape(-1), vi * W + ui)
+        patches = _extract_patches_depth_scaled(img, kpts, z_kp, patch, patch_z0)
+    else:
+        patches = _extract_patches_int(img, kpts, patch)  # [N, p, p]
     flatp = patches.reshape(top_k, -1)
     mu = jnp.mean(flatp, axis=-1, keepdims=True)
     sd = jnp.std(flatp, axis=-1, keepdims=True)

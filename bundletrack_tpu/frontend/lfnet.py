@@ -66,9 +66,11 @@ class FrozenBN(nn.Module):
 
 
 def _make_norm(kind: str, name: str):
+    # norms always compute in f32 (mean/var reductions are precision
+    # sensitive); the surrounding conv path may be bf16
     if kind == "bn":
         return FrozenBN(name=name)
-    return nn.GroupNorm(num_groups=1, name=name)
+    return nn.GroupNorm(num_groups=1, dtype=jnp.float32, name=name)
 
 
 class ResBlock(nn.Module):
@@ -78,17 +80,20 @@ class ResBlock(nn.Module):
     channels: int
     ksize: int = 3
     norm: str = "gn"
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = _make_norm(self.norm, "pre_norm")(x)
         h = nn.relu(h)
         shortcut = x
-        h = nn.Conv(self.channels, (self.ksize, self.ksize), name="conv1")(h)
+        h = nn.Conv(self.channels, (self.ksize, self.ksize), dtype=self.dtype,
+                    name="conv1")(h)
         h = _make_norm(self.norm, "mid_norm")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.channels, (self.ksize, self.ksize), name="conv2")(h)
-        return h + shortcut
+        h = nn.Conv(self.channels, (self.ksize, self.ksize), dtype=self.dtype,
+                    name="conv2")(h)
+        return h + shortcut.astype(h.dtype)
 
 
 class MSODetector(nn.Module):
@@ -101,6 +106,7 @@ class MSODetector(nn.Module):
     min_scale: float = 0.5
     max_scale: float = 2.0
     norm: str = "gn"
+    dtype: type = jnp.float32  # conv-path compute dtype (bf16 on TPU)
 
     def scale_factors(self) -> np.ndarray:
         if self.num_scales == 1:
@@ -114,21 +120,27 @@ class MSODetector(nn.Module):
     @nn.compact
     def __call__(self, photos):  # [B, H, W, 1]
         B, H, W, _ = photos.shape
-        x = nn.Conv(self.channels, (self.ksize, self.ksize), name="init_conv")(photos)
+        x = nn.Conv(self.channels, (self.ksize, self.ksize), dtype=self.dtype,
+                    name="init_conv")(photos)
         for i in range(self.num_blocks):
             x = ResBlock(
-                self.channels, self.ksize, norm=self.norm, name=f"block_{i+1}"
+                self.channels, self.ksize, norm=self.norm, dtype=self.dtype,
+                name=f"block_{i+1}",
             )(x)
         x = _make_norm(self.norm, "final_norm")(x)
-        feat_maps = nn.relu(x)
+        feat_maps = nn.relu(x)  # f32 (post-norm)
 
+        # the per-scale feature upsample (up to 2x H, 2x W) dominates the
+        # forward's HBM traffic — resize and score-conv in the compute dtype
+        feat_rs = feat_maps.astype(self.dtype)
         score_maps = []
         for i, s in enumerate(self.scale_factors()):
             inv_s = 1.0 / float(s)
             fh, fw = int(H * inv_s + 0.5), int(W * inv_s + 0.5)
-            rs = jax.image.resize(feat_maps, (B, fh, fw, self.channels), "bilinear")
-            sm = nn.Conv(1, (self.ksize, self.ksize), name=f"score_conv_{i}")(rs)
-            score_maps.append(sm)
+            rs = jax.image.resize(feat_rs, (B, fh, fw, self.channels), "bilinear")
+            sm = nn.Conv(1, (self.ksize, self.ksize), dtype=self.dtype,
+                         name=f"score_conv_{i}")(rs)
+            score_maps.append(sm.astype(jnp.float32))
 
         # orientation head: init to (cos, sin) = (1, 0)
         ori = nn.Conv(
@@ -154,6 +166,7 @@ class SimpleDesc(nn.Module):
     num_layers: int = 3
     ksize: int = 3
     norm: str = "gn"
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, patches):  # [N, P, P, C]
@@ -163,15 +176,17 @@ class SimpleDesc(nn.Module):
                 self.init_channels * (2 ** i),
                 (self.ksize, self.ksize),
                 strides=(2, 2),
+                dtype=self.dtype,
                 name=f"conv{i+1}",
             )(x)
             x = _make_norm(self.norm, f"norm{i+1}")(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(512, name="fc1")(x)
+        x = nn.Dense(512, dtype=self.dtype, name="fc1")(x)
         x = _make_norm(self.norm, "fc1_norm")(x)
         x = nn.relu(x)
-        x = nn.Dense(self.out_dim, name="fc2")(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = x.astype(jnp.float32)
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6)
 
 
@@ -186,6 +201,7 @@ class LFNet(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dtype = jnp.bfloat16 if getattr(c, "bf16", False) else jnp.float32
         self.detector = MSODetector(
             num_blocks=c.net_block,
             channels=c.net_channel,
@@ -194,6 +210,7 @@ class LFNet(nn.Module):
             min_scale=c.net_min_scale,
             max_scale=c.net_max_scale,
             norm=c.norm,
+            dtype=dtype,
         )
         self.descriptor = SimpleDesc(
             out_dim=c.desc_dim,
@@ -201,6 +218,7 @@ class LFNet(nn.Module):
             num_layers=c.desc_net_depth,
             ksize=c.desc_conv_ksize,
             norm=c.norm,
+            dtype=dtype,
         )
 
     def describe_patches(self, patches):

@@ -67,6 +67,8 @@ def extract_frame_features(
             mask,
             top_k=cfg.top_k,
             sigma=cfg.harris_sigma,
+            z_map=points_map[..., 2],
+            patch_z0=cfg.harris_patch_z0,
         )
         return _lift_to_3d(out, points_map, normals_map, valid_map)
 

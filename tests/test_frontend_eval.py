@@ -33,9 +33,13 @@ class TestFrontendEval:
 
 class TestLfnetNpz:
     def _tiny_cfg(self):
+        # bf16=False: this test asserts the fp16 WEIGHT quantization of the
+        # npz roundtrip moves nothing; on a random-init net (near-flat score
+        # map, argmax ties everywhere) bf16 COMPUTE noise flips top-K picks
+        # and would test the wrong thing
         return FrontendConfig(
             kind="lfnet", input_size=64, top_k=32, desc_dim=32,
-            net_channel=8, desc_net_channel=16, net_num_scales=3,
+            net_channel=8, desc_net_channel=16, net_num_scales=3, bf16=False,
         )
 
     def test_roundtrip(self, tmp_path):
