@@ -96,14 +96,34 @@ def end_of_frame_mask(H: int, W: int, radius: int, dtype=jnp.float32):
 
 
 def top_k_keypoints(score_map: jnp.ndarray, k: int):
-    """[B, H, W, 1] -> (kpts [B, k, 2] (x, y) float, scores [B, k], valid)."""
+    """[B, H, W, 1] -> (kpts [B, k, 2] (x, y) float, scores [B, k], valid).
+
+    Bucketed: lax.top_k over all H*W pixels is a near-sort (the measured
+    hot spot of the LF-Net post-processing at 400^2); NMS peaks are >=3 px
+    apart (nms_ksize=5 strict local maxima), so each 4x4 cell is first
+    reduced to its best pixel and top_k runs over the 16x-smaller cell-winner
+    map.  A cell can very rarely hold two surviving peaks (3 px apart on the
+    diagonal) — the weaker one is dropped, which is the same spatial-
+    bucketing prior the classical frontend applies on purpose."""
     B, H, W = score_map.shape[0], score_map.shape[1], score_map.shape[2]
-    flat = score_map.reshape(B, H * W)
-    vals, idx = jax.lax.top_k(flat, k)
-    x = (idx % W).astype(jnp.float32)
-    y = (idx // W).astype(jnp.float32)
-    valid = vals > 0.0
-    return jnp.stack([x, y], axis=-1), vals, valid
+    CELL = 4
+    if H % CELL or W % CELL or (H // CELL) * (W // CELL) < k:
+        flat = score_map.reshape(B, H * W)
+        vals, idx = jax.lax.top_k(flat, k)
+        x = (idx % W).astype(jnp.float32)
+        y = (idx // W).astype(jnp.float32)
+        return jnp.stack([x, y], axis=-1), vals, vals > 0.0
+    hc, wc = H // CELL, W // CELL
+    cells = score_map[..., 0].reshape(B, hc, CELL, wc, CELL)
+    cells = cells.transpose(0, 1, 3, 2, 4).reshape(B, hc, wc, CELL * CELL)
+    cell_best = jnp.max(cells, axis=-1)  # [B, hc, wc]
+    cell_arg = jnp.argmax(cells, axis=-1).astype(jnp.int32)
+    vals, cidx = jax.lax.top_k(cell_best.reshape(B, hc * wc), k)
+    cidx = cidx.astype(jnp.int32)
+    sub = jnp.take_along_axis(cell_arg.reshape(B, hc * wc), cidx, axis=1)
+    x = ((cidx % wc) * CELL + sub % CELL).astype(jnp.float32)
+    y = ((cidx // wc) * CELL + sub // CELL).astype(jnp.float32)
+    return jnp.stack([x, y], axis=-1), vals, vals > 0.0
 
 
 def soft_argmax_2d(patches: jnp.ndarray, do_softmax: bool = True, com: float = 10.0):
@@ -156,16 +176,26 @@ def transformer_crop(
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
     dx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
     dy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
-    b = batch_inds[:, None]
-    p00 = images[b, y0, x0]
-    p01 = images[b, y0, x0 + 1]
-    p10 = images[b, y0 + 1, x0]
-    p11 = images[b, y0 + 1, x0 + 1]
+    # ONE gather instead of four: TPU gathers price per INDEX, not per byte,
+    # so pre-shifting the image into a [B, H, W, 4C] quad view (p00, p01,
+    # p10, p11 stacked on the channel axis) fetches all four bilinear taps
+    # with a single N*P*P-index gather — 4x fewer indices on the 512x32x32
+    # descriptor-patch crop (same trick as the dense term's bf16 gather
+    # tables, solver/dense_p2p.py).
+    C = images.shape[-1]
+    B = images.shape[0]
+    sx = jnp.concatenate([images[:, :, 1:], images[:, :, -1:]], axis=2)
+    sy = jnp.concatenate([images[:, 1:], images[:, -1:]], axis=1)
+    sxy = jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)
+    quad = jnp.concatenate([images, sx, sy, sxy], axis=-1)  # [B, H, W, 4C]
+    lin = (batch_inds[:, None] * H + y0) * W + x0  # [N, P*P]
+    g = jnp.take(quad.reshape(B * H * W, 4 * C), lin, axis=0)  # [N, P*P, 4C]
+    p00, p01 = g[..., :C], g[..., C : 2 * C]
+    p10, p11 = g[..., 2 * C : 3 * C], g[..., 3 * C :]
     out = (
         p00 * (1 - dx) * (1 - dy)
         + p01 * dx * (1 - dy)
         + p10 * (1 - dx) * dy
         + p11 * dx * dy
     )
-    C = images.shape[-1]
     return out.reshape(N, out_size, out_size, C)
