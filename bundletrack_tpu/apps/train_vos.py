@@ -41,6 +41,11 @@ def main(argv=None):
                         help="hard: multi-shape fBm-textured worlds with "
                         "backgrounds and occluder clips (data/hard_world.py); "
                         "mix: 3 hard : 1 easy")
+    parser.add_argument("--far-stride-max", type=int, default=35,
+                        help="largest GT-ref-to-target gap in the far-pair "
+                        "curriculum; long-horizon inference keeps a pinned "
+                        "anchor ~100+ frames old, so training should see "
+                        "comparable gaps")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ckpt-dir", default="")
     parser.add_argument("--ckpt-every", type=int, default=100)
@@ -104,7 +109,10 @@ def main(argv=None):
         is_hard = args.world == "hard" or (args.world == "mix" and s % 4 != 3)
         far_pair = is_hard and s % 2 == 1
         if far_pair:
-            T_s, stride = 2, 15 + 5 * ((s // 2) % 5)
+            lo, hi = 15, max(args.far_stride_max, 16)
+            n_lv = 5
+            T_s = 2
+            stride = lo + ((hi - lo) * ((s // 2) % n_lv)) // (n_lv - 1)
         else:
             T_s, stride = T, (1 + (s % 4) if is_hard else 1)
         if is_hard:
