@@ -405,7 +405,7 @@ def _bench_vos():
 
     model, params = load_vos_npz(ckpt)
     seg = SegmentationConfig()
-    out = {}
+    out = {"width": int(model.width)}
     easy = render_synthetic_sequence(num_frames=32, H=96, W=96, seed=999,
                                      orbit_deg_per_frame=4.0)
     r = evaluate_vos(params, model, seg, easy)

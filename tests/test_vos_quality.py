@@ -44,14 +44,14 @@ class TestVOSQuality:
         memory (reference propagates hundreds of frames with ref_num=9,
         run_video.py:77-160, lib/predict.py:63-78).
 
-        Shipped r4 weights (width-64, far-pair curriculum + rollout loss,
-        mixed worlds) measure mean 0.766 / min 0.552 on this clip — the
-        catastrophic mid-orbit collapse of the r3 weights (IoU -> 0.0) is
-        gone, but the VERDICT r3 stretch bounds (mean 0.8 / min 0.7) are
-        not yet met: the residual dips align with novel back-side
-        viewpoints where a from-scratch width-64 backbone discriminates
-        worse than the reference's ImageNet-pretrained ResNet50 (whose
-        weights are unobtainable in this zero-egress environment).  Bounds
+        Shipped r5 weights (width-96, same two-stage recipe) measure mean
+        0.779 / min 0.637 on this clip.  The r5 scaling study (width
+        64/96/128 x steps x far-pair reach; checkpoints/vos/meta.json and
+        PARITY.md) shows the curve is FLAT while train-time rollout IoU
+        saturates at 1.0 — the documented ceiling of the self-supervised
+        synthetic objective vs the reference's ImageNet-pretrained ResNet50
+        (unobtainable in this zero-egress environment); the stretch bounds
+        (mean 0.8 / min 0.7) remain out of reach on this axis.  Bounds
         below assert the achieved level with margin."""
         from bundletrack_tpu.config import SegmentationConfig
         from bundletrack_tpu.data import render_hard_sequence
@@ -65,8 +65,8 @@ class TestVOSQuality:
         )
         r = evaluate_vos(params, model, SegmentationConfig(), seq)
         assert len(r["per_frame"]) == 109
-        assert r["mean_iou"] >= 0.72, r
-        assert r["min_iou"] >= 0.45, r
+        assert r["mean_iou"] >= 0.75, r
+        assert r["min_iou"] >= 0.55, r
 
     def test_occluder_clip_no_bleed(self):
         """Two-object clip: a textured distractor sweeps between camera and
