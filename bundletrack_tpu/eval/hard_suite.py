@@ -98,13 +98,17 @@ def pass_report(poses, statuses, seq, shape: str, size: float = 0.2) -> Dict:
     }
 
 
-def generate_vos_masks(seq, params, model, seg_cfg, work_hw=(120, 160)):
+def generate_vos_masks(seq, params, model, seg_cfg, work_hw=(96, 96)):
     """Run the VOS propagator over a sequence to produce the tracker's masks
     (the reference's deployment: transductive-vos run_video.py writes mask
     PNGs that Frame::segmentationByMaskFile consumes, src/Frame.cpp:236-319).
 
-    VOS runs at `work_hw` (feature grid close to its training scale) on
-    downscaled frames; predicted masks are upsampled (nearest) to the
+    VOS runs at `work_hw` on downscaled frames — SQUARE by default, matching
+    the training frame shape (measured on the 128-frame 480x640 orbit:
+    mean IoU 0.677 at 96x96 vs 0.648 at 96x128 vs 0.577 at 120x160; a
+    mask-tracked ROI window measured 0.469 — per-frame window rescaling
+    breaks the scale consistency between history tokens and the target, so
+    plain downscale wins).  Predicted masks are upsampled (nearest) to the
     sequence resolution.  Frame 0 uses the sequence's own init mask — the
     protocol's single ground-truth input.
     """
