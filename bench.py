@@ -418,6 +418,12 @@ def _bench_vos():
     r = evaluate_vos(params, model, seg, hard)
     out["hard110"] = {"mean_iou": round(r["mean_iou"], 3),
                       "min_iou": round(r["min_iou"], 3)}
+    # widened sparse-reference window (SegmentationConfig.long_range):
+    # measured r5 win on min IoU with flat mean — the production setting
+    # for 100+-frame propagations
+    r = evaluate_vos(params, model, seg.long_range(110), hard)
+    out["hard110_longrange"] = {"mean_iou": round(r["mean_iou"], 3),
+                                "min_iou": round(r["min_iou"], 3)}
     occ = render_hard_sequence(
         "cube", num_frames=48, H=96, W=96, seed=778,
         orbit_deg_per_frame=3.0, depth_noise=0.0, depth_quant=0.0,

@@ -47,7 +47,8 @@ def main(argv=None):
     parser.add_argument("--mask_save_dir", required=True)
     parser.add_argument("--checkpoint", default="", help="orbax params dir from train_vos")
     parser.add_argument("--max-frames", type=int, default=0)
-    parser.add_argument("--history-cap", type=int, default=48)
+    parser.add_argument("--history-cap", type=int, default=0,
+                        help="feature-ring capacity; 0 = SegmentationConfig default")
     args = parser.parse_args(argv)
 
     import jax
@@ -100,7 +101,8 @@ def main(argv=None):
         init_mask = init_mask[..., 0]
 
     os.makedirs(args.mask_save_dir, exist_ok=True)
-    prop = VOSPropagator(params, model, cfg, H, W, history_cap=args.history_cap)
+    prop = VOSPropagator(params, model, cfg, H, W,
+                         history_cap=args.history_cap or None)
     prop.first_frame(first, init_mask)
     # frame 0's mask is the given init mask (reference writes it unchanged)
     write_png(

@@ -246,12 +246,31 @@ class SegmentationConfig:
     temperature: float = 0.05
     range_: int = 40
     downscale: int = 8
+    # feature-ring capacity of the online propagator (frames of history the
+    # sparse sampling window can reach; must be >= range_ or older wanted
+    # ages snap to the oldest retained frame).  The reference keeps its
+    # whole history in host RAM (run_video.py); the TPU ring is fixed-size.
+    history_cap: int = 48
     # EXTENSION (not in the reference): keep the GT-initialized first frame
     # pinned as the oldest sparse reference forever.  The reference's
     # range_=40 sampling (lib/predict.py:63-78) plus a finite history ring
     # drops the only ground-truth anchor, so long propagations drift
     # unrecoverably; False restores exact reference behavior.
     anchor_first: bool = True
+
+    def long_range(self, num_frames: int) -> "SegmentationConfig":
+        """Widen the sparse-reference window to cover a long sequence.
+
+        Measured on the hard110 protocol (r5): range_=100 with a 128-frame
+        ring lifts min IoU 0.637 -> 0.675 at equal mean — mid-orbit frames
+        gain references from the whole revisit arc instead of only the last
+        40 frames.  Mean IoU is flat, so this stays opt-in for short clips.
+        """
+        rg = min(int(num_frames), 100)
+        if rg <= self.range_:
+            return self
+        cap = max(self.history_cap, rg + 28)
+        return dataclasses.replace(self, range_=rg, history_cap=cap)
 
 
 @_frozen

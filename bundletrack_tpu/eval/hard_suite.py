@@ -166,7 +166,9 @@ def run_long_suite(
 
         model, params = load_vos_npz(vos_ckpt)
         seq = passes["orbit"]
-        vos_masks = generate_vos_masks(seq, params, model, SegmentationConfig())
+        # long pass -> widen the sparse-reference window to the whole arc
+        seg_cfg = SegmentationConfig().long_range(len(seq.gray))
+        vos_masks = generate_vos_masks(seq, params, model, seg_cfg)
         seq_vos = seq._replace(mask=vos_masks)
         poses, statuses, _ = track_sequence(cfg, seq_vos, lfnet_apply=lfnet_apply)
         rep = pass_report(poses, statuses, seq, LONG_PASS_SHAPES["orbit"])

@@ -21,7 +21,7 @@ def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def evaluate_vos(params, model, seg_cfg, seq, num_frames: int = 0,
-                 history_cap: int = 48):
+                 history_cap: int | None = None):
     """Propagate seq.mask[0] through seq.gray frames; returns IoU stats.
 
     seq: SyntheticSequence-like (gray [F,H,W] in [0,1], mask [F,H,W] bool).

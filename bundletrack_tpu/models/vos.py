@@ -173,7 +173,7 @@ class VOSPropagator:
     the axon runtime); fused, a frame is a single dispatch."""
 
     def __init__(self, params, model: VOSNet, cfg, H: int, W: int, num_labels: int = 2,
-                 history_cap: int = 48):
+                 history_cap: int | None = None):
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -182,7 +182,8 @@ class VOSPropagator:
         self.num_labels = num_labels
         self.w1 = spatial_weight(self.h, self.w, cfg.sigma1)
         self.w2 = spatial_weight(self.h, self.w, cfg.sigma2)
-        self.state = init_vos_state(history_cap, self.h, self.w, model.out_dim, num_labels)
+        cap = history_cap if history_cap is not None else getattr(cfg, "history_cap", 48)
+        self.state = init_vos_state(cap, self.h, self.w, model.out_dim, num_labels)
         self._first = jax.jit(self._first_impl)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 

@@ -62,6 +62,37 @@ class TestReferenceSelection:
         assert np.asarray(is_recent)[:4].all()
         assert not np.asarray(is_recent)[4:].any()
 
+    def test_long_range_widens_sparse_window(self):
+        """SegmentationConfig.long_range: the sparse refs must actually reach
+        frames older than the default range_=40 window when the ring is big
+        enough (the r5 hard110 min-IoU improvement depends on this)."""
+        cfg = SegmentationConfig().long_range(110)
+        assert cfg.range_ == 100
+        assert cfg.history_cap >= cfg.range_
+        state = init_vos_state(cfg.history_cap, 2, 2, 4, 2)
+        for i in range(110):
+            state = vos_push(
+                state, jnp.zeros((2, 2, 4)), jnp.zeros((2, 2, 2)), i
+            )
+        slots, valid, is_recent = select_references(
+            state, ref_num=cfg.ref_num, dense_num=4, range_=cfg.range_
+        )
+        assert bool(valid.all())
+        ages = 110 - np.asarray(state.frame_ids)[np.asarray(slots)]
+        # oldest sparse ref sits at the far end of the widened window
+        assert ages.max() >= 95, ages
+        # short clips keep the reference's defaults untouched
+        short = SegmentationConfig().long_range(30)
+        assert short.range_ == SegmentationConfig().range_
+        assert short.history_cap == SegmentationConfig().history_cap
+
+    def test_propagator_reads_cap_from_config(self):
+        cfg = SegmentationConfig().long_range(110)
+        model = VOSNet(out_dim=8, width=8)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+        prop = VOSPropagator(params, model, cfg, 32, 32)
+        assert prop.state.feats.shape[0] == cfg.history_cap
+
 
 class TestVOSPropagator:
     def test_online_mask_tracking(self):
