@@ -14,16 +14,29 @@ the reference's OpenCV-CUDA BFMatcher + prune + mutual-collect pipeline
 (reference: src/FeatureManager.cpp:247-368).
 
 TPU layout notes (learned from real-chip Mosaic failures, not interpret
-mode): every block's minor dimension must be 128-lane aligned, so the
-[N, 3] point/normal arrays are zero-padded to [N, 128] lanes before the
-call (the padded lanes contribute nothing to the dot products), and
-keypoint validity is folded into the positions — invalid keypoints are
-teleported to ±1e4 so the distance gate rejects them, which removes the
-unalignable [N, 1] validity inputs entirely.
+mode): every block's minor dimension must be 128-lane aligned.  The
+3-component geometry (points + normals) is deliberately NOT fed to the MXU:
+an f32 dot over 128 zero-padded lanes is multi-pass bf16 matmul work where
+125/128 lanes carry nothing, and two such matmuls dominated the r4 kernel
+(~26 us of its ~38 us per pair, measured).  Instead the A-side packs
+[points | normals] into the first 6 lanes of one [N, 128] array and the
+B-side arrives PRE-TRANSPOSED as [8, N] (rows 0-2 = xyz, 3-5 = normals), so
+the pairwise squared distance and normal cosine are pure VPU broadcasts
+([N, 1] op [1, N] per coordinate) — no MXU, no padded-lane waste, and the
+B-side geometry block shrinks from [N, 128] to [8, N].  Keypoint validity
+is folded into the positions — invalid keypoints are teleported to ±1e4 so
+the distance gate rejects them, which removes the unalignable [N, 1]
+validity inputs entirely.
+
+Numerics: the direct (a-b)^2 distance here is MORE accurate than the XLA
+path's norm+matmul identity, so gate-threshold ties can flip between
+backends (the bench's agreement metric tracks this; ground-truth precision
+is 1.0 for both).  Descriptor distances still use the bf16 matmul identity
+EXACTLY like the XLA path so both backends pick identical winners.
 
 Grid: one program per pair.  VMEM budget per program at N=512, D=256:
-2 x desc (512 KB f32) + 4 x padded geo (256 KB) + ~5 [N, N] f32
-intermediates (1 MB each) ~= 7 MB.
+2 x desc (512 KB f32) + geo (256 KB + 16 KB) + ~5 [N, N] f32
+intermediates (1 MB each) ~= 6 MB.
 """
 
 from __future__ import annotations
@@ -35,13 +48,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_GEO_LANES = 128  # minor-dim padding for point/normal blocks
+_GEO_LANES = 128  # minor-dim padding for the A-side [points|normals] block
+_GEO_ROWS = 8  # sublane padding for the B-side transposed geometry block
 
 
 def _match_kernel(
     desc_a_ref, desc_b_ref,  # [N, D]
-    wa_ref, wb_ref,  # [N, 128] model-frame points (lanes 0-2, rest zero)
-    na_ref, nb_ref,  # [N, 128] model-frame normals (lanes 0-2, rest zero)
+    geo_a_ref,  # [N, 128]: lanes 0-2 points, 3-5 normals, rest zero
+    geo_bt_ref,  # [8, N]: rows 0-2 points, 3-5 normals, rest zero
     best_b_ref,  # out [1, N] int32
     best_dist_ref,  # out [1, N] f32
     mutual_ref,  # out [1, N] int32 (1 = mutual match)
@@ -64,25 +78,17 @@ def _match_kernel(
     nb2 = jnp.sum(db * db, axis=1, keepdims=True)
     dist = na2 + nb2.T - 2.0 * sim
 
-    wa = wa_ref[:]
-    wb = wb_ref[:]
-    # zero-padded lanes drop out of both the dot product and the norms.
-    # Mosaic's DEFAULT f32 dot is multi-pass bf16 (~f32-accurate), the same
-    # accuracy class as the XLA path's Precision.HIGH einsum — the gate
-    # threshold (0.02 m)^2 = 4e-4 needs better than raw bf16 resolution of
-    # the ~1 m^2 norm terms, and both paths clear it.  (Mosaic rejects an
-    # explicit HIGH, and HIGHEST costs ~0.9 ms/call extra, measured.)
-    wdot = jax.lax.dot_general(
-        wa, wb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    wa2 = jnp.sum(wa * wa, axis=1, keepdims=True)
-    wb2 = jnp.sum(wb * wb, axis=1, keepdims=True)
-    d2 = wa2 + wb2.T - 2.0 * wdot
-
-    ncos = jax.lax.dot_general(
-        na_ref[:], nb_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    ga = geo_a_ref[:]  # [N, 128]
+    gbt = geo_bt_ref[:]  # [8, N]
+    # pairwise squared distance + normal cosine, one coordinate at a time:
+    # [N, 1] broadcast against [1, N] on the VPU.  f32 exact — no matmul
+    # identity, no bf16 passes (see module docstring for why not MXU).
+    d2 = (ga[:, 0:1] - gbt[0:1, :]) ** 2
+    d2 += (ga[:, 1:2] - gbt[1:2, :]) ** 2
+    d2 += (ga[:, 2:3] - gbt[2:3, :]) ** 2
+    ncos = ga[:, 3:4] * gbt[3:4, :]
+    ncos += ga[:, 4:5] * gbt[4:5, :]
+    ncos += ga[:, 5:6] * gbt[5:6, :]
 
     # validity is already encoded in the positions (invalid -> +-1e4 -> d2
     # astronomically over max_dist_sq), so the gate needs no mask inputs
@@ -124,25 +130,24 @@ def fused_mutual_match(
 
     P, N, D = desc_a.shape
 
-    def pack_geo(x, valid, offset):
-        # teleport invalid keypoints out of gate range, pad lanes to 128.
-        # A-side and B-side get opposite signs so invalid-vs-invalid pairs
-        # are also 2e4 apart.
-        x = jnp.where(valid[..., None], x, jnp.float32(offset))
-        return jnp.pad(
-            x.astype(jnp.float32), ((0, 0), (0, 0), (0, _GEO_LANES - x.shape[-1]))
-        )
-
-    wa_p = pack_geo(wa, valid_a, 1e4)
-    wb_p = pack_geo(wb, valid_b, -1e4)
-    pad_n = lambda x: jnp.pad(
-        x.astype(jnp.float32), ((0, 0), (0, 0), (0, _GEO_LANES - x.shape[-1]))
-    )
-    na_p, nb_p = pad_n(na), pad_n(nb)
+    # teleport invalid keypoints out of gate range (A-side and B-side get
+    # opposite signs so invalid-vs-invalid pairs are also 2e4 apart), then
+    # pack [points | normals] into 6 lanes
+    wa_v = jnp.where(valid_a[..., None], wa.astype(jnp.float32), jnp.float32(1e4))
+    wb_v = jnp.where(valid_b[..., None], wb.astype(jnp.float32), jnp.float32(-1e4))
+    geo_a = jnp.concatenate([wa_v, na.astype(jnp.float32)], axis=-1)  # [P, N, 6]
+    geo_a = jnp.pad(geo_a, ((0, 0), (0, 0), (0, _GEO_LANES - geo_a.shape[-1])))
+    geo_b = jnp.concatenate([wb_v, nb.astype(jnp.float32)], axis=-1)  # [P, N, 6]
+    geo_bt = jnp.pad(
+        jnp.swapaxes(geo_b, 1, 2), ((0, 0), (0, _GEO_ROWS - geo_b.shape[-1]), (0, 0))
+    )  # [P, 8, N]
 
     grid = (P,)
     spec_nd = lambda d: pl.BlockSpec(
         (1, N, d), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_t = pl.BlockSpec(
+        (1, _GEO_ROWS, N), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
     )
     # outputs are [P, 1, N] so the trailing block dims (1, N) exactly match
     # the array dims — Mosaic requires (8, 128)-divisible or full-dim blocks
@@ -154,20 +159,13 @@ def fused_mutual_match(
         cos_thresh=math.cos(math.radians(float(max_normal_deg))),
     )
 
-    def kernel(da, db, wa_, wb_, na_, nb_, bb, bd, mu):
-        body(
-            da.at[0], db.at[0], wa_.at[0], wb_.at[0], na_.at[0], nb_.at[0],
-            bb.at[0], bd.at[0], mu.at[0],
-        )
+    def kernel(da, db, ga, gbt, bb, bd, mu):
+        body(da.at[0], db.at[0], ga.at[0], gbt.at[0], bb.at[0], bd.at[0], mu.at[0])
 
     best_b, best_dist, mutual = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            spec_nd(D), spec_nd(D),
-            spec_nd(_GEO_LANES), spec_nd(_GEO_LANES),
-            spec_nd(_GEO_LANES), spec_nd(_GEO_LANES),
-        ],
+        in_specs=[spec_nd(D), spec_nd(D), spec_nd(_GEO_LANES), spec_t],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((P, 1, N), jnp.int32),
@@ -175,6 +173,6 @@ def fused_mutual_match(
             jax.ShapeDtypeStruct((P, 1, N), jnp.int32),
         ],
         interpret=interpret,
-    )(desc_a, desc_b, wa_p, wb_p, na_p, nb_p)
+    )(desc_a, desc_b, geo_a, geo_bt)
 
     return (best_b[:, 0], best_dist[:, 0], mutual[:, 0] > 0)
